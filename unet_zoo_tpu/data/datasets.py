@@ -1,0 +1,106 @@
+"""Paired image/mask datasets (NHWC, numpy host-side).
+
+TPU-native rebuild of ref: unet_zoo/data/datasets.py:10-64. Differences by
+design: NHWC output, configurable ``image_size`` wired through the pipeline
+(fixing reference quirk Q6 where 512 was hard-coded), no torch dependency,
+and a SyntheticDataset so tests/benchmarks run without data on disk.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
+
+_VALID_EXTENSIONS = (".png", ".jpg", ".jpeg", ".tiff", ".bmp")
+
+
+def _normalize(img: np.ndarray) -> np.ndarray:
+    return (img - IMAGENET_MEAN) / IMAGENET_STD
+
+
+class BoneDataset:
+    """Paired ``{split}/{images,masks}`` dataset.
+
+    Returns ``(image NHWC float32 normalized, mask NHW1 float32 binary, path)``
+    per item. Listing is sorted and extension-filtered exactly like the
+    reference (ref: data/datasets.py:27-34); masks are binarized at 0.5
+    (ref: data/datasets.py:59).
+    """
+
+    def __init__(self, root_path: str, split: str = "train",
+                 limit: Optional[int] = None, image_size: int = 512):
+        self.root_path = root_path
+        self.split = split
+        self.limit = limit
+        self.image_size = image_size
+
+        images_path = os.path.join(root_path, split, "images")
+        masks_path = os.path.join(root_path, split, "masks")
+        if not os.path.exists(images_path):
+            raise FileNotFoundError(f"Image directory not found: {images_path}")
+        if not os.path.exists(masks_path):
+            raise FileNotFoundError(f"Mask directory not found: {masks_path}")
+
+        image_files = sorted(
+            f for f in os.listdir(images_path)
+            if not f.startswith(".") and f.lower().endswith(_VALID_EXTENSIONS)
+        )
+        mask_files = sorted(
+            f for f in os.listdir(masks_path)
+            if not f.startswith(".") and f.lower().endswith(_VALID_EXTENSIONS)
+        )
+        self.images = [os.path.join(images_path, f) for f in image_files][: self.limit]
+        self.masks = [os.path.join(masks_path, f) for f in mask_files][: self.limit]
+        if len(self.images) != len(self.masks):
+            print(
+                f"Warning: Number of images ({len(self.images)}) doesn't match "
+                f"number of masks ({len(self.masks)}) for split '{split}'."
+            )
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray, str]:
+        from PIL import Image  # lazy: PIL only needed for on-disk data
+
+        size = (self.image_size, self.image_size)
+        img = Image.open(self.images[index]).convert("RGB").resize(
+            size[::-1], Image.BILINEAR
+        )
+        mask = Image.open(self.masks[index]).convert("L").resize(
+            size[::-1], Image.BILINEAR
+        )
+        img_np = _normalize(np.asarray(img, dtype=np.float32) / 255.0)
+        mask_np = (np.asarray(mask, dtype=np.float32) / 255.0 > 0.5).astype(np.float32)
+        return img_np, mask_np[..., None], self.images[index]
+
+
+class SyntheticDataset:
+    """Deterministic synthetic blobs + masks — for tests and benchmarks."""
+
+    def __init__(self, length: int = 64, image_size: int = 256,
+                 in_channels: int = 3, seed: int = 0):
+        self.length = length
+        self.image_size = image_size
+        self.in_channels = in_channels
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return self.length
+
+    def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray, str]:
+        rng = np.random.default_rng(self.seed * 100003 + index)
+        s = self.image_size
+        img = rng.standard_normal((s, s, self.in_channels)).astype(np.float32)
+        # circular blob mask at a random center
+        cy, cx = rng.integers(s // 4, 3 * s // 4, size=2)
+        r = rng.integers(s // 8, s // 4)
+        yy, xx = np.mgrid[:s, :s]
+        mask = (((yy - cy) ** 2 + (xx - cx) ** 2) < r * r).astype(np.float32)
+        img = img + 2.0 * mask[..., None]  # signal correlated with the mask
+        return img, mask[..., None], f"synthetic://{index}"

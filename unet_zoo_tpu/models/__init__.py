@@ -1,0 +1,203 @@
+"""Model registry: ``create_model`` / ``list_models`` / ``get_model_config``.
+
+TPU-native rebuild of the reference registry (ref: unet_zoo/models/__init__.py:27-238)
+with the same names, defaults, kwarg-override precedence and ``image_size``
+requirements — but instead of an isinstance-dispatched loss in the trainer,
+each registry entry carries a declarative ``ModelSpec`` (output-key loss
+weights, image-size requirement), and every model returns the unified
+output protocol ``{'main': logits, 'side*': aux_logits...}``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Mapping, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSpec:
+    """Declarative per-model metadata attached to a registry entry."""
+
+    name: str
+    build: Callable[..., nn.Module]
+    requires_image_size: bool = False
+    default_image_size: Optional[int] = None
+    # Per-output-key loss weights. Keys absent here get 1.0 for 'main' and
+    # `default_aux_weight` otherwise (matches the reference's
+    # `WEIGHTS.get(key, 0.5)` fallback, ref: utils/training_loop.py:63,69).
+    loss_weights: Mapping[str, float] = dataclasses.field(default_factory=dict)
+    default_aux_weight: float = 0.5
+    config_fn: Optional[Callable[..., Any]] = None
+
+    def loss_weight(self, key: str) -> float:
+        if key in self.loss_weights:
+            return self.loss_weights[key]
+        return 1.0 if key == "main" else self.default_aux_weight
+
+
+_REGISTRY: Dict[str, ModelSpec] = {}
+
+
+def register_model(name: str, **spec_kwargs):
+    """Decorator registering a build function under ``name``."""
+
+    def deco(build_fn: Callable[..., nn.Module]) -> Callable[..., nn.Module]:
+        _REGISTRY[name] = ModelSpec(name=name, build=build_fn, **spec_kwargs)
+        return build_fn
+
+    return deco
+
+
+def list_models() -> List[str]:
+    """All available model names, sorted (ref: models/__init__.py:59-61)."""
+    return sorted(_REGISTRY.keys())
+
+
+def get_model_config(model_name: str, **kwargs) -> Dict[str, Any]:
+    """Default config for models that carry one (da_transformer, uctransnet);
+    empty dict otherwise (ref: models/__init__.py:63-76)."""
+    spec = _REGISTRY.get(model_name.lower())
+    if spec is not None and spec.config_fn is not None:
+        return spec.config_fn(**kwargs)
+    return {}
+
+
+@dataclasses.dataclass
+class ZooModel:
+    """Thin functional handle around a Flax module.
+
+    ``init`` produces the variables pytree; ``apply`` runs the forward pass,
+    returning ``(outputs, updated_state)`` when ``train=True`` (batch-stats
+    update) and plain ``outputs`` otherwise. ``module`` is the raw Flax
+    module for power users.
+    """
+
+    name: str
+    module: nn.Module
+    spec: ModelSpec
+    in_channels: int
+    num_classes: int
+    image_size: Optional[int]
+
+    def dummy_input(self, batch: int = 1, image_size: Optional[int] = None) -> jnp.ndarray:
+        size = image_size or self.image_size or 256
+        return jnp.zeros((batch, size, size, self.in_channels), jnp.float32)
+
+    def init(self, rng, sample: Optional[jnp.ndarray] = None):
+        if sample is None:
+            sample = self.dummy_input()
+        return self.module.init(rng, sample, train=False)
+
+    def apply(self, variables, x, train: bool = False, rngs=None, **kwargs):
+        if train:
+            return self.module.apply(
+                variables, x, train=True, mutable=["batch_stats"], rngs=rngs, **kwargs
+            )
+        return self.module.apply(variables, x, train=False, rngs=rngs, **kwargs)
+
+    def loss_weight(self, key: str) -> float:
+        return self.spec.loss_weight(key)
+
+
+def create_model(model_name: str, pretrained: bool = False, **kwargs) -> ZooModel:
+    """Instantiate a zoo model by name (ref: models/__init__.py:78-238).
+
+    Same call contract as the reference: ``in_channels`` (3), ``num_classes``
+    (1), ``image_size`` (required by uctransnet/swin_unet_v2), ``depth`` (5),
+    remaining kwargs forwarded to the model with user values winning over
+    defaults. Adds ``dtype`` for bf16 compute.
+    """
+    key = model_name.lower()
+    if key not in _REGISTRY:
+        raise ValueError(
+            f"Unknown model: '{model_name}'. Available models: {list_models()}"
+        )
+    spec = _REGISTRY[key]
+
+    in_channels = kwargs.pop("in_channels", 3)
+    num_classes = kwargs.pop("num_classes", 1)
+    image_size = kwargs.pop("image_size", None)
+    depth = kwargs.pop("depth", 5)
+    dtype = kwargs.pop("dtype", jnp.float32)
+
+    if spec.requires_image_size and image_size is None:
+        raise ValueError(
+            f"Model '{model_name}' requires 'image_size' parameter in config."
+        )
+    if image_size is None:
+        image_size = spec.default_image_size
+
+    module = spec.build(
+        in_channels=in_channels,
+        num_classes=num_classes,
+        image_size=image_size,
+        depth=depth,
+        dtype=dtype,
+        **kwargs,
+    )
+
+    if pretrained:
+        print(f"Warning: Pre-trained weights for {model_name} are not yet implemented.")
+
+    return ZooModel(
+        name=key,
+        module=module,
+        spec=spec,
+        in_channels=in_channels,
+        num_classes=num_classes,
+        image_size=image_size,
+    )
+
+
+# --- registrations -----------------------------------------------------------
+
+from unet_zoo_tpu.models.unet import UNet
+from unet_zoo_tpu.models.attention_unet import AttentionUNet
+from unet_zoo_tpu.models.resunet import ResUnet
+from unet_zoo_tpu.models.nested_unet import NestedUNet
+
+
+@register_model("unet")
+def _build_unet(in_channels, num_classes, image_size, depth, dtype, **kw):
+    return UNet(in_channels=in_channels, num_classes=num_classes, dtype=dtype, **kw)
+
+
+@register_model("attention_unet")
+def _build_attention_unet(in_channels, num_classes, image_size, depth, dtype, **kw):
+    return AttentionUNet(
+        in_channels=in_channels, num_classes=num_classes, depth=depth, dtype=dtype, **kw
+    )
+
+
+@register_model("resunet")
+def _build_resunet(in_channels, num_classes, image_size, depth, dtype, **kw):
+    filters = tuple(kw.pop("filters", (64, 128, 256, 512)))
+    return ResUnet(
+        in_channels=in_channels, num_classes=num_classes, filters=filters,
+        dtype=dtype, **kw,
+    )
+
+
+@register_model("nested_unet")
+def _build_nested_unet(in_channels, num_classes, image_size, depth, dtype, **kw):
+    return NestedUNet(
+        in_channels=in_channels,
+        num_classes=num_classes,
+        deep_supervision=kw.pop("deep_supervision", False),
+        dtype=dtype,
+        **kw,
+    )
+
+
+__all__ = [
+    "ModelSpec",
+    "ZooModel",
+    "create_model",
+    "list_models",
+    "get_model_config",
+    "register_model",
+]

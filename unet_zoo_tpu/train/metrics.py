@@ -1,0 +1,50 @@
+"""On-device segmentation metrics.
+
+TPU-native rebuild of ref: unet_zoo/utils/metrics.py:7-24. Computed entirely
+on device (no per-batch ``.item()`` host syncs — the reference's pattern at
+utils/training_loop.py:123-124 is replaced by device-side accumulation).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def dice_coefficient(
+    prediction_logits: jnp.ndarray,
+    target: jnp.ndarray,
+    epsilon: float = 1e-7,
+    threshold: float = 0.5,
+) -> jnp.ndarray:
+    """Thresholded binary Dice over the whole batch.
+
+    sigmoid → >threshold → flatten; ``union == 0`` yields 1.0 exactly as the
+    reference does (ref: utils/metrics.py:20-21). jit-safe (lax.select, not
+    Python branching).
+    """
+    pred = (jax.nn.sigmoid(prediction_logits.astype(jnp.float32)) > threshold).astype(
+        jnp.float32
+    )
+    tgt = target.astype(jnp.float32)
+    intersection = jnp.sum(pred * tgt)
+    union = jnp.sum(pred) + jnp.sum(tgt)
+    dice = (2.0 * intersection + epsilon) / (union + epsilon)
+    return jnp.where(union == 0, jnp.float32(1.0), dice)
+
+
+def iou_score(
+    prediction_logits: jnp.ndarray,
+    target: jnp.ndarray,
+    epsilon: float = 1e-7,
+    threshold: float = 0.5,
+) -> jnp.ndarray:
+    """Thresholded binary IoU (bonus metric beyond the reference)."""
+    pred = (jax.nn.sigmoid(prediction_logits.astype(jnp.float32)) > threshold).astype(
+        jnp.float32
+    )
+    tgt = target.astype(jnp.float32)
+    intersection = jnp.sum(pred * tgt)
+    union = jnp.sum(pred) + jnp.sum(tgt) - intersection
+    iou = (intersection + epsilon) / (union + epsilon)
+    return jnp.where(union == 0, jnp.float32(1.0), iou)

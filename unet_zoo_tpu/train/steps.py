@@ -1,0 +1,123 @@
+"""TrainState + jit'd train/eval steps.
+
+The TPU-native replacement for the reference's per-batch Python loop body
+(ref: unet_zoo/utils/training_loop.py:108-141): forward, weighted
+multi-output BCE, grad, global-norm clip (1.0), AdamW update and the Dice
+metric are all one compiled XLA program; metrics stay on device (no
+``.item()`` per batch).
+
+The learning rate is an optax injected hyperparameter so the Dice-plateau
+scheduler can change it between epochs without retracing.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from unet_zoo_tpu.models import ZooModel
+from unet_zoo_tpu.train.losses import bce_with_logits, multi_output_loss
+from unet_zoo_tpu.train.metrics import dice_coefficient
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+def make_optimizer(learning_rate: float, weight_decay: float = 1e-5,
+                   max_grad_norm: float = 1.0) -> optax.GradientTransformation:
+    """clip_by_global_norm(1.0) → AdamW, with runtime-adjustable LR
+    (ref defaults: scripts/train.py:156, utils/training_loop.py:101,120)."""
+
+    @optax.inject_hyperparams
+    def _make(learning_rate):
+        return optax.chain(
+            optax.clip_by_global_norm(max_grad_norm),
+            optax.adamw(learning_rate, weight_decay=weight_decay),
+        )
+
+    return _make(learning_rate=learning_rate)
+
+
+def create_train_state(model: ZooModel, rng: jax.Array,
+                       sample: Optional[jnp.ndarray] = None,
+                       learning_rate: float = 1e-4,
+                       weight_decay: float = 1e-5,
+                       max_grad_norm: float = 1.0) -> TrainState:
+    variables = model.init(rng, sample)
+    return TrainState.create(
+        apply_fn=model.module.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=make_optimizer(learning_rate, weight_decay, max_grad_norm),
+    )
+
+
+def get_lr(state: TrainState) -> float:
+    return float(state.opt_state.hyperparams["learning_rate"])
+
+
+def set_lr(state: TrainState, lr: float) -> TrainState:
+    hyper = dict(state.opt_state.hyperparams)
+    hyper["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return state.replace(opt_state=state.opt_state._replace(hyperparams=hyper))
+
+
+def make_train_step(model: ZooModel,
+                    criterion: Callable = bce_with_logits) -> Callable:
+    """Build the jitted train step for ``model``.
+
+    Returns ``step(state, images, masks) -> (state, metrics)`` where metrics
+    is ``{'loss': f32[], 'dice': f32[]}`` (device scalars).
+    """
+
+    def loss_fn(params, batch_stats, images, masks):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        outputs, mutated = model.module.apply(
+            variables, images, train=True, mutable=["batch_stats"]
+        )
+        loss = multi_output_loss(outputs, masks, model.loss_weight, criterion)
+        return loss, (outputs["main"], mutated.get("batch_stats", {}))
+
+    @jax.jit
+    def train_step(state: TrainState, images: jnp.ndarray, masks: jnp.ndarray
+                   ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (main_logits, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, images, masks
+        )
+        state = state.apply_gradients(grads=grads)
+        if new_stats:
+            state = state.replace(batch_stats=new_stats)
+        dice = dice_coefficient(main_logits, masks)
+        return state, {"loss": loss, "dice": dice}
+
+    return train_step
+
+
+def make_eval_step(model: ZooModel,
+                   criterion: Callable = bce_with_logits) -> Callable:
+    """Build the jitted eval step: ``(variables, images, masks) -> metrics``
+    with ``{'loss', 'dice'}`` plus the main logits for visualization."""
+
+    @jax.jit
+    def eval_step(variables, images, masks):
+        outputs = model.module.apply(variables, images, train=False)
+        loss = multi_output_loss(outputs, masks, model.loss_weight, criterion)
+        dice = dice_coefficient(outputs["main"], masks)
+        return {"loss": loss, "dice": dice, "main": outputs["main"]}
+
+    return eval_step
+
+
+def variables_of(state: TrainState) -> Dict[str, Any]:
+    v = {"params": state.params}
+    if state.batch_stats:
+        v["batch_stats"] = state.batch_stats
+    return v

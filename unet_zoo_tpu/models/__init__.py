@@ -94,6 +94,8 @@ class ZooModel:
 
     def apply(self, variables, x, train: bool = False, rngs=None, **kwargs):
         if train:
+            if rngs is None:
+                rngs = {"dropout": jax.random.PRNGKey(0)}
             return self.module.apply(
                 variables, x, train=True, mutable=["batch_stats"], rngs=rngs, **kwargs
             )
@@ -159,6 +161,15 @@ from unet_zoo_tpu.models.unet import UNet
 from unet_zoo_tpu.models.attention_unet import AttentionUNet
 from unet_zoo_tpu.models.resunet import ResUnet
 from unet_zoo_tpu.models.nested_unet import NestedUNet
+from unet_zoo_tpu.models.multiresunet import MultiResUnet
+from unet_zoo_tpu.models.u2net import U2Net
+from unet_zoo_tpu.models.transatt_unet import TransAttUNet
+from unet_zoo_tpu.models.unet_transformer import UTransformer
+
+_U2NET_LOSS_WEIGHTS = {  # ref: utils/training_loop.py:23-31
+    "main": 1.0, "side1": 1.0, "side2": 1.0, "side3": 1.0,
+    "side4": 1.0, "side5": 1.0, "side6": 1.0,
+}
 
 
 @register_model("unet")
@@ -180,6 +191,40 @@ def _build_resunet(in_channels, num_classes, image_size, depth, dtype, **kw):
         in_channels=in_channels, num_classes=num_classes, filters=filters,
         dtype=dtype, **kw,
     )
+
+
+@register_model("transatt_unet")
+def _build_transatt_unet(in_channels, num_classes, image_size, depth, dtype, **kw):
+    return TransAttUNet(in_channels=in_channels, num_classes=num_classes,
+                        bilinear=kw.pop("bilinear", True), dtype=dtype, **kw)
+
+
+@register_model("unet_transformer")
+def _build_unet_transformer(in_channels, num_classes, image_size, depth, dtype, **kw):
+    attn_res = tuple(kw.pop("common_attn_res_for_QK_V", (64, 64)))
+    return UTransformer(in_channels=in_channels, num_classes=num_classes,
+                        bilinear=kw.pop("bilinear", True), attn_res=attn_res,
+                        dtype=dtype, **kw)
+
+
+@register_model("multiresunet")
+def _build_multiresunet(in_channels, num_classes, image_size, depth, dtype, **kw):
+    return MultiResUnet(
+        in_channels=in_channels, num_classes=num_classes,
+        filters=kw.pop("filters", 32), dtype=dtype, **kw,
+    )
+
+
+@register_model("u2net", loss_weights=_U2NET_LOSS_WEIGHTS)
+def _build_u2net(in_channels, num_classes, image_size, depth, dtype, **kw):
+    return U2Net(in_channels=in_channels, num_classes=num_classes,
+                 small=False, dtype=dtype, **kw)
+
+
+@register_model("u2netp", loss_weights=_U2NET_LOSS_WEIGHTS)
+def _build_u2netp(in_channels, num_classes, image_size, depth, dtype, **kw):
+    return U2Net(in_channels=in_channels, num_classes=num_classes,
+                 small=True, dtype=dtype, **kw)
 
 
 @register_model("nested_unet")

@@ -58,6 +58,8 @@ class ConvNormAct(nn.Module):
     use_bias: bool = True
     act: Optional[Callable] = nn.relu
     feature_group_count: int = 1
+    kernel_dilation: int = 1
+    bn_affine: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -70,9 +72,11 @@ class ConvNormAct(nn.Module):
             padding=((p, p), (p, p)),
             use_bias=self.use_bias,
             feature_group_count=self.feature_group_count,
+            kernel_dilation=(self.kernel_dilation, self.kernel_dilation),
             dtype=self.dtype,
         )(x)
-        x = BatchNorm(train, dtype=self.dtype)(x)
+        x = BatchNorm(train, dtype=self.dtype,
+                      use_scale=self.bn_affine, use_bias=self.bn_affine)(x)
         if self.act is not None:
             x = self.act(x)
         return x

@@ -8,7 +8,12 @@ from unet_zoo_tpu.ops.resize import (
     resize_nearest,
     upsample2x_nearest,
 )
-from unet_zoo_tpu.ops.pooling import max_pool2d, avg_pool2d, global_avg_pool
+from unet_zoo_tpu.ops.pooling import (
+    max_pool2d,
+    avg_pool2d,
+    global_avg_pool,
+    adaptive_avg_pool2d,
+)
 from unet_zoo_tpu.ops.padding import pad_to_match
 
 __all__ = [
@@ -18,5 +23,6 @@ __all__ = [
     "max_pool2d",
     "avg_pool2d",
     "global_avg_pool",
+    "adaptive_avg_pool2d",
     "pad_to_match",
 ]

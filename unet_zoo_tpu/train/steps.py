@@ -75,12 +75,13 @@ def make_train_step(model: ZooModel,
     is ``{'loss': f32[], 'dice': f32[]}`` (device scalars).
     """
 
-    def loss_fn(params, batch_stats, images, masks):
+    def loss_fn(params, batch_stats, images, masks, dropout_rng):
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
         outputs, mutated = model.module.apply(
-            variables, images, train=True, mutable=["batch_stats"]
+            variables, images, train=True, mutable=["batch_stats"],
+            rngs={"dropout": dropout_rng},
         )
         loss = multi_output_loss(outputs, masks, model.loss_weight, criterion)
         return loss, (outputs["main"], mutated.get("batch_stats", {}))
@@ -88,9 +89,10 @@ def make_train_step(model: ZooModel,
     @jax.jit
     def train_step(state: TrainState, images: jnp.ndarray, masks: jnp.ndarray
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        dropout_rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, (main_logits, new_stats)), grads = grad_fn(
-            state.params, state.batch_stats, images, masks
+            state.params, state.batch_stats, images, masks, dropout_rng
         )
         state = state.apply_gradients(grads=grads)
         if new_stats:

@@ -165,6 +165,11 @@ from unet_zoo_tpu.models.multiresunet import MultiResUnet
 from unet_zoo_tpu.models.u2net import U2Net
 from unet_zoo_tpu.models.transatt_unet import TransAttUNet
 from unet_zoo_tpu.models.unet_transformer import UTransformer
+from unet_zoo_tpu.models.unext import UNext
+from unet_zoo_tpu.models.egeunet import EGEUNet
+from unet_zoo_tpu.models.mmunet import MMUNet
+from unet_zoo_tpu.models.wranet import WRANet
+from unet_zoo_tpu.models.vnet import VNet
 
 _U2NET_LOSS_WEIGHTS = {  # ref: utils/training_loop.py:23-31
     "main": 1.0, "side1": 1.0, "side2": 1.0, "side3": 1.0,
@@ -225,6 +230,82 @@ def _build_u2net(in_channels, num_classes, image_size, depth, dtype, **kw):
 def _build_u2netp(in_channels, num_classes, image_size, depth, dtype, **kw):
     return U2Net(in_channels=in_channels, num_classes=num_classes,
                  small=True, dtype=dtype, **kw)
+
+
+def _build_unext_family(small, in_channels, num_classes, image_size, dtype, kw):
+    # defaults per ref: models/__init__.py:185-199, unext.py:201-210,330-344
+    if small:
+        defaults = dict(embed_dims=(64, 128, 160), num_heads=(1, 2, 4),
+                        mlp_ratios=(4, 4, 4), depths=(2, 2, 2), sr_ratios=(8, 4, 2))
+        for k in defaults:
+            kw.pop(k, None)
+    else:
+        defaults = dict(
+            embed_dims=kw.pop("embed_dims", None) or (128, 160, 256),
+            num_heads=kw.pop("num_heads", None) or (1, 2, 4, 8),
+            mlp_ratios=kw.pop("mlp_ratios", None) or (4, 4, 4, 4),
+            depths=kw.pop("depths", None) or (3, 4, 6, 3),
+            sr_ratios=kw.pop("sr_ratios", None) or (8, 4, 2, 1),
+        )
+    kw.pop("norm_layer", None)  # accepted for API parity; LayerNorm is fixed
+    return UNext(
+        in_channels=in_channels, num_classes=num_classes,
+        qkv_bias=kw.pop("qkv_bias", False), qk_scale=kw.pop("qk_scale", None),
+        drop_rate=kw.pop("drop_rate", 0.0),
+        attn_drop_rate=kw.pop("attn_drop_rate", 0.0),
+        drop_path_rate=kw.pop("drop_path_rate", 0.0),
+        dtype=dtype,
+        **{k: tuple(v) for k, v in defaults.items()},
+        **kw,
+    )
+
+
+@register_model("unext")
+def _build_unext(in_channels, num_classes, image_size, depth, dtype, **kw):
+    return _build_unext_family(False, in_channels, num_classes, image_size, dtype, kw)
+
+
+@register_model("unext_s")
+def _build_unext_s(in_channels, num_classes, image_size, depth, dtype, **kw):
+    return _build_unext_family(True, in_channels, num_classes, image_size, dtype, kw)
+
+
+@register_model("egeunet", default_image_size=512)
+def _build_egeunet(in_channels, num_classes, image_size, depth, dtype, **kw):
+    return EGEUNet(
+        in_channels=in_channels, num_classes=num_classes,
+        c_list=kw.pop("c_list", None), bridge=kw.pop("bridge", True),
+        gt_ds=kw.pop("gt_ds", True),
+        image_size=image_size if image_size is not None else 512,
+        dtype=dtype, **kw,
+    )
+
+
+@register_model("mmunet")
+def _build_mmunet(in_channels, num_classes, image_size, depth, dtype, **kw):
+    return MMUNet(
+        in_channels=in_channels, num_classes=num_classes,
+        base_channels=kw.pop("base_channels", 96),
+        bilinear=kw.pop("bilinear", True),
+        layer_scale_init_value=kw.pop("layer_scale_init_value", 1e-6),
+        se_ratio=kw.pop("se_ratio", 0.25), dtype=dtype, **kw,
+    )
+
+
+@register_model("wranet")
+def _build_wranet(in_channels, num_classes, image_size, depth, dtype, **kw):
+    return WRANet(
+        in_channels=in_channels, num_classes=num_classes,
+        feature_channels=kw.pop("feature_channels", 128), dtype=dtype, **kw,
+    )
+
+
+@register_model("vnet")
+def _build_vnet(in_channels, num_classes, image_size, depth, dtype, **kw):
+    return VNet(
+        in_channels=in_channels, num_classes=num_classes,
+        elu=kw.pop("elu", True), nll=kw.pop("nll", False), dtype=dtype, **kw,
+    )
 
 
 @register_model("nested_unet")

@@ -1,0 +1,239 @@
+"""EGE-UNet (TPU-native rebuild of ref: unet_zoo/models/egeunet.py).
+
+Grouped multi-axis Hadamard Product Attention (GHPA) encoder/decoder stages
++ Group Aggregation Bridges (GAB) taking deep-supervision mask guidance.
+
+Fixes reference quirk Q2: the reference GHPA lacks ``super().__init__()``
+(ref :100-104, crashes on instantiation) and the ``gt_ds=False`` branch
+references an undefined variable (ref :282); both are implemented correctly
+here (the no-ds path feeds an all-ones mask of the right shape).
+
+Output protocol: ``{'main', 'side1'..'side5'}``; loss weights main=1.0,
+sides=0.5 (ref: utils/training_loop.py:33-40).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from unet_zoo_tpu.ops import max_pool2d, resize_bilinear
+
+
+def _ln(dt, name=None):
+    # ConvNeXt-style channel LayerNorm, eps 1e-6 (ref :22-43)
+    return nn.LayerNorm(epsilon=1e-6, dtype=dt, name=name)
+
+
+def _gn(dt, name=None):
+    return nn.GroupNorm(num_groups=4, dtype=dt, name=name)
+
+
+def _resize_param(p: jnp.ndarray, size) -> jnp.ndarray:
+    """Bilinear (align_corners=True) resize of a parameter grid stored as
+    [1, a, b, c] over its (a, b) axes."""
+    return resize_bilinear(p, size, align_corners=True)
+
+
+class GHPA(nn.Module):
+    """Grouped multi-axis Hadamard product attention (ref :99-157).
+
+    The input (after LN) splits into 4 channel groups; groups 1-3 are
+    Hadamard-multiplied by learned parameter grids over the (H,W), (C,H)
+    and (C,W) axes respectively (each grid refined by a small depthwise
+    conv stack), group 4 gets a depthwise conv; concat → LN → depthwise +
+    1x1 projection.
+    """
+
+    dim_in: int
+    dim_out: int
+    x_res: int = 8
+    y_res: int = 8
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        dt = self.dtype
+        c = self.dim_in // 4
+        b, h, w, _ = x.shape
+
+        x = _ln(dt, "norm1")(x)
+        x1, x2, x3, x4 = jnp.split(x, 4, axis=-1)
+
+        def dw_gelu_pw(h_, prefix):
+            h_ = nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)), feature_group_count=c,
+                         dtype=dt, name=f"{prefix}_dw")(h_)
+            h_ = nn.gelu(h_, approximate=False)
+            return nn.Conv(c, (1, 1), dtype=dt, name=f"{prefix}_pw")(h_)
+
+        # xy axis: params [1, x_res, y_res, c] → (H, W)
+        p_xy = self.param("params_xy", nn.initializers.ones,
+                          (1, self.x_res, self.y_res, c), jnp.float32)
+        f_xy = dw_gelu_pw(_resize_param(p_xy.astype(dt), (h, w)), "conv_xy")
+        x1 = x1 * f_xy
+
+        # zx axis: params [1, 1, c, x_res] → factor over (C, H)
+        p_zx = self.param("params_zx", nn.initializers.ones,
+                          (1, c, self.x_res, 1), jnp.float32)
+        f_zx = _resize_param(p_zx.astype(dt), (c, h))[0, ..., 0]  # [c, h]
+        f_zx = self._conv1d(f_zx, c, dt, "conv_zx")               # [c, h]
+        x2 = x2 * jnp.transpose(f_zx)[None, :, None, :]           # [1, h, 1, c]
+
+        # zy axis: params over (C, W)
+        p_zy = self.param("params_zy", nn.initializers.ones,
+                          (1, c, self.y_res, 1), jnp.float32)
+        f_zy = _resize_param(p_zy.astype(dt), (c, w))[0, ..., 0]  # [c, w]
+        f_zy = self._conv1d(f_zy, c, dt, "conv_zy")               # [c, w]
+        x3 = x3 * jnp.transpose(f_zy)[None, None, :, :]           # [1, 1, w, c]
+
+        # group 4: 1x1 → GELU → depthwise 3x3 (ref :118-122)
+        x4 = nn.Conv(c, (1, 1), dtype=dt, name="dw_pw")(x4)
+        x4 = nn.gelu(x4, approximate=False)
+        x4 = nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)), feature_group_count=c,
+                     dtype=dt, name="dw_dw")(x4)
+
+        h_ = jnp.concatenate([x1, x2, x3, x4], axis=-1)
+        h_ = _ln(dt, "norm2")(h_)
+        h_ = nn.Conv(self.dim_in, (3, 3), padding=((1, 1), (1, 1)),
+                     feature_group_count=self.dim_in, dtype=dt, name="ldw_dw")(h_)
+        h_ = nn.gelu(h_, approximate=False)
+        return nn.Conv(self.dim_out, (1, 1), dtype=dt, name="ldw_pw")(h_)
+
+    def _conv1d(self, g: jnp.ndarray, c: int, dt, prefix: str) -> jnp.ndarray:
+        """depthwise Conv1d(k=3) → GELU → Conv1d(k=1) over [c, L]
+        (ref :112,116): treat as NHWC [1, 1, L, c]."""
+        t = jnp.transpose(g)[None, None, :, :]  # [1, 1, L, c]
+        t = nn.Conv(c, (1, 3), padding=((0, 0), (1, 1)), feature_group_count=c,
+                    dtype=dt, name=f"{prefix}_dw")(t)
+        t = nn.gelu(t, approximate=False)
+        t = nn.Conv(c, (1, 1), dtype=dt, name=f"{prefix}_pw")(t)
+        return jnp.transpose(t[0, 0])  # [c, L]
+
+
+class GAB(nn.Module):
+    """Group aggregation bridge (ref :46-97): fuse high-level (xh),
+    low-level (xl) and a 1-channel mask via 4 dilated depthwise groups."""
+
+    dim_xl: int
+    d_list: Sequence[int] = (1, 2, 5, 7)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xh: jnp.ndarray, xl: jnp.ndarray, mask: jnp.ndarray,
+                 train: bool = False) -> jnp.ndarray:
+        dt = self.dtype
+        xh = nn.Conv(self.dim_xl, (1, 1), dtype=dt, name="pre_project")(xh)
+        xh = resize_bilinear(xh, (xl.shape[1], xl.shape[2]), align_corners=True)
+
+        xh_chunks = jnp.split(xh, 4, axis=-1)
+        xl_chunks = jnp.split(xl, 4, axis=-1)
+        gc = self.dim_xl // 4 * 2 + 1  # group channels after concat with mask
+
+        outs = []
+        for i, d in enumerate(self.d_list):
+            g = jnp.concatenate([xh_chunks[i], xl_chunks[i], mask], axis=-1)
+            g = _ln(dt, f"g{i}_norm")(g)
+            g = nn.Conv(gc, (3, 3), padding=((d, d), (d, d)),
+                        kernel_dilation=(d, d), feature_group_count=gc,
+                        dtype=dt, name=f"g{i}_conv")(g)
+            outs.append(g)
+        h = jnp.concatenate(outs, axis=-1)
+        h = _ln(dt, "tail_norm")(h)
+        return nn.Conv(self.dim_xl, (1, 1), dtype=dt, name="tail_conv")(h)
+
+
+class EGEUNet(nn.Module):
+    in_channels: int = 3
+    num_classes: int = 1
+    c_list: Optional[Sequence[int]] = None
+    bridge: bool = True
+    gt_ds: bool = True
+    image_size: int = 512
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:
+        dt = self.dtype
+        c = list(self.c_list) if self.c_list is not None else [8, 16, 24, 32, 48, 64]
+        s = self.image_size
+
+        def conv3(f, name):
+            return nn.Conv(f, (3, 3), padding=((1, 1), (1, 1)), dtype=dt, name=name)
+
+        # encoder (ref :259-275): conv/GHPA → GN → pool → GELU
+        t = []
+        h = x
+        for i in range(3):
+            h = conv3(c[i], f"encoder{i + 1}")(h)
+            h = _gn(dt, f"ebn{i + 1}")(h)
+            h = nn.gelu(max_pool2d(h, 2), approximate=False)
+            t.append(h)
+        h = GHPA(c[2], c[3], s // 16, s // 16, dtype=dt, name="encoder4")(h, train)
+        h = nn.gelu(max_pool2d(_gn(dt, "ebn4")(h), 2), approximate=False)
+        t.append(h)
+        h = GHPA(c[3], c[4], s // 32, s // 32, dtype=dt, name="encoder5")(h, train)
+        h = nn.gelu(max_pool2d(_gn(dt, "ebn5")(h), 2), approximate=False)
+        t.append(h)
+        h = nn.gelu(GHPA(c[4], c[5], s // 32, s // 32, dtype=dt,
+                         name="encoder6")(h, train), approximate=False)
+        t.append(h)
+        t1, t2, t3, t4, t5, t6 = t
+
+        gab = lambda dim, name: GAB(dim, dtype=dt, name=name)
+        gt_conv = lambda name: nn.Conv(1, (1, 1), dtype=dt, name=name)
+
+        def up2(z):
+            return resize_bilinear(z, (z.shape[1] * 2, z.shape[2] * 2),
+                                   align_corners=True)
+
+        def mask_for(pre, tgt):
+            if self.gt_ds:
+                return resize_bilinear(pre, (tgt.shape[1], tgt.shape[2]),
+                                       align_corners=True)
+            return jnp.ones(tgt.shape[:3] + (1,), dt)
+
+        sides = {}
+
+        # stage 5 (no upsample, ref :278-283)
+        out5 = nn.gelu(_gn(dt, "dbn1")(
+            GHPA(c[5], c[4], s // 32, s // 32, dtype=dt, name="decoder1")(t6, train)
+        ), approximate=False)
+        pre5 = gt_conv("gt_conv1")(out5) if self.gt_ds else None
+        if self.bridge:
+            t5 = gab(c[4], "GAB5")(t6, t5, mask_for(pre5, t5), train)
+        out5 = out5 + t5
+        if self.gt_ds:
+            sides["side5"] = resize_bilinear(
+                pre5, (pre5.shape[1] * 32, pre5.shape[2] * 32), align_corners=True)
+
+        # stages 4..1 (ref :285-311)
+        specs = [
+            ("decoder2", "dbn2", c[4], c[3], s // 16, "gt_conv2", "GAB4", 16),
+            ("decoder3", "dbn3", c[3], c[2], s // 8, "gt_conv3", "GAB3", 8),
+            (None, "dbn4", c[2], c[1], None, "gt_conv4", "GAB2", 4),
+            (None, "dbn5", c[1], c[0], None, "gt_conv5", "GAB1", 2),
+        ]
+        skips = [t4, t3, t2, t1]
+        out = out5
+        for i, (dec_name, bn_name, cin, cout, res, gt_name, gab_name, scale) in enumerate(specs):
+            if dec_name is not None:
+                d = GHPA(cin, cout, res, res, dtype=dt, name=dec_name)(out, train)
+            else:
+                d = conv3(cout, f"decoder{i + 2}")(out)
+            d = nn.gelu(up2(_gn(dt, bn_name)(d)), approximate=False)
+            pre = gt_conv(gt_name)(d) if self.gt_ds else None
+            skip = skips[i]
+            if self.bridge:
+                skip = gab(cout, gab_name)(out, skip, mask_for(pre, skip), train)
+            out = d + skip
+            if self.gt_ds:
+                sides[f"side{4 - i}"] = resize_bilinear(
+                    pre, (pre.shape[1] * scale, pre.shape[2] * scale),
+                    align_corners=True)
+
+        final = nn.Conv(self.num_classes, (1, 1), dtype=dt, name="final")(out)
+        main = resize_bilinear(final, (final.shape[1] * 2, final.shape[2] * 2),
+                               align_corners=True)
+        return {"main": main, **sides}

@@ -1,0 +1,83 @@
+"""UNext / UNext-S (TPU-native rebuild of ref: unet_zoo/models/unext.py:193-355).
+
+3-stage MiT-ish tokenized encoder (overlap patch embed + spatial-reduction
+attention + DWConv-MLP) with a simplified conv decoder: bilinear
+(align_corners=True) upsampling, 3x3 convs, additive skips, final x4
+upsample + 1x1 head.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from unet_zoo_tpu.nn.transformer import MiTBlock, OverlapPatchEmbed
+from unet_zoo_tpu.ops import resize_bilinear
+
+
+class UNext(nn.Module):
+    in_channels: int = 3
+    num_classes: int = 1
+    embed_dims: Sequence[int] = (128, 160, 256)
+    num_heads: Sequence[int] = (1, 2, 4, 8)
+    mlp_ratios: Sequence[float] = (4, 4, 4, 4)
+    depths: Sequence[int] = (3, 4, 6, 3)
+    sr_ratios: Sequence[int] = (8, 4, 2, 1)
+    qkv_bias: bool = False
+    qk_scale: Optional[float] = None
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:
+        dt = self.dtype
+        dims = list(self.embed_dims)
+        depths = list(self.depths)[:3]
+        dpr = np.linspace(0.0, self.drop_path_rate, sum(depths)).tolist()
+
+        feats = []
+        h = x
+        cur = 0
+        for s in range(3):
+            h = OverlapPatchEmbed(
+                dims[s],
+                patch_size=7 if s == 0 else 3,
+                stride=4 if s == 0 else 2,
+                dtype=dt,
+                name=f"patch_embed{s + 1}",
+            )(h)
+            for i in range(depths[s]):
+                h = MiTBlock(
+                    num_heads=self.num_heads[s],
+                    mlp_ratio=self.mlp_ratios[s],
+                    sr_ratio=self.sr_ratios[s],
+                    qkv_bias=self.qkv_bias,
+                    qk_scale=self.qk_scale,
+                    drop=self.drop_rate,
+                    attn_drop=self.attn_drop_rate,
+                    drop_path=dpr[cur + i],
+                    dtype=dt,
+                    name=f"block{s + 1}_{i}",
+                )(h, train)
+            cur += depths[s]
+            h = nn.LayerNorm(dtype=dt, name=f"norm{s + 1}")(h)
+            feats.append(h)
+
+        x1, x2, x3 = feats
+        conv3 = lambda f, name: nn.Conv(f, (3, 3), padding=((1, 1), (1, 1)),
+                                        dtype=dt, name=name)
+
+        u = resize_bilinear(x3, (x2.shape[1], x2.shape[2]), align_corners=True)
+        u = conv3(dims[1], "decoder_level1")(u) + x2
+        u = resize_bilinear(u, (x1.shape[1], x1.shape[2]), align_corners=True)
+        u = conv3(dims[0], "decoder_level2")(u) + x1
+        u = conv3(dims[0], "decoder_level3")(u)
+
+        u = resize_bilinear(u, (u.shape[1] * 4, u.shape[2] * 4), align_corners=True)
+        out = nn.Conv(self.num_classes, (1, 1), dtype=dt, name="final_conv")(u)
+        return {"main": out}

@@ -170,6 +170,10 @@ from unet_zoo_tpu.models.egeunet import EGEUNet
 from unet_zoo_tpu.models.mmunet import MMUNet
 from unet_zoo_tpu.models.wranet import WRANet
 from unet_zoo_tpu.models.vnet import VNet
+from unet_zoo_tpu.models.raunet import RAUNet
+from unet_zoo_tpu.models.da_transformer import DATransformer, get_da_transformer_config
+from unet_zoo_tpu.models.missformer import MISSFormer
+from unet_zoo_tpu.models.uctransnet import UCTransNet, get_uctransnet_config
 
 _U2NET_LOSS_WEIGHTS = {  # ref: utils/training_loop.py:23-31
     "main": 1.0, "side1": 1.0, "side2": 1.0, "side3": 1.0,
@@ -297,6 +301,52 @@ def _build_wranet(in_channels, num_classes, image_size, depth, dtype, **kw):
     return WRANet(
         in_channels=in_channels, num_classes=num_classes,
         feature_channels=kw.pop("feature_channels", 128), dtype=dtype, **kw,
+    )
+
+
+@register_model("raunet")
+def _build_raunet(in_channels, num_classes, image_size, depth, dtype,
+                  pretrained=False, **kw):
+    if pretrained:
+        print("Warning: pretrained ResNet34 weights are unavailable in this "
+              "environment (zero egress); RAUNet uses random init.")
+    return RAUNet(in_channels=in_channels, num_classes=num_classes,
+                  dtype=dtype, **kw)
+
+
+@register_model("da_transformer", config_fn=get_da_transformer_config)
+def _build_da_transformer(in_channels, num_classes, image_size, depth, dtype, **kw):
+    config = kw.pop("config", None) or get_da_transformer_config()
+    return DATransformer(
+        in_channels=in_channels, num_classes=num_classes,
+        block_units=tuple(config["resnet"]["num_layers"]),
+        width_factor=config["resnet"]["width_factor"], dtype=dtype, **kw,
+    )
+
+
+@register_model("missformer", default_image_size=512)
+def _build_missformer(in_channels, num_classes, image_size, depth, dtype, **kw):
+    kw.pop("token_mlp_mode", None)
+    kw.pop("encoder_pretrained", None)
+    return MISSFormer(
+        in_channels=in_channels, num_classes=num_classes,
+        image_size=image_size if image_size is not None else 512,
+        dtype=dtype, **kw,
+    )
+
+
+@register_model("uctransnet", requires_image_size=True,
+                config_fn=get_uctransnet_config)
+def _build_uctransnet(in_channels, num_classes, image_size, depth, dtype, **kw):
+    config = kw.pop("config", None) or get_uctransnet_config()
+    kw.pop("vis", None)  # attention-weight return not reproduced
+    return UCTransNet(
+        in_channels=in_channels, num_classes=num_classes,
+        base_channel=config["base_channel"],
+        patch_sizes=tuple(config["patch_sizes"]),
+        num_layers=config["transformer"]["num_layers"],
+        num_heads=config["transformer"]["num_heads"],
+        expand_ratio=config["expand_ratio"], dtype=dtype, **kw,
     )
 
 

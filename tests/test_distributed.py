@@ -1,0 +1,71 @@
+"""Multi-device tests on the forced 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unet_zoo_tpu.models import create_model
+from unet_zoo_tpu.parallel import (
+    batch_sharding,
+    create_mesh,
+    replicate_state,
+    shard_batch,
+)
+from unet_zoo_tpu.train.steps import create_train_state, make_train_step, make_eval_step, variables_of
+
+
+def test_mesh_creation():
+    mesh = create_mesh()
+    assert mesh.devices.size == jax.device_count()
+    assert mesh.axis_names == ("data", "model")
+
+
+def test_sharded_train_step_matches_single_device():
+    model = create_model("unet")
+    rng = np.random.default_rng(0)
+    imgs = rng.standard_normal((8, 32, 32, 3)).astype(np.float32)
+    masks = (rng.uniform(size=(8, 32, 32, 1)) > 0.5).astype(np.float32)
+
+    def run(mesh):
+        state = create_train_state(model, jax.random.PRNGKey(0),
+                                   jnp.zeros((8, 32, 32, 3)),
+                                   learning_rate=1e-3)
+        step = make_train_step(model)
+        if mesh is not None:
+            state = replicate_state(mesh, state)
+            im, mk = shard_batch(mesh, imgs, masks)
+        else:
+            im, mk = jnp.asarray(imgs), jnp.asarray(masks)
+        state, metrics = step(state, im, mk)
+        return float(metrics["loss"]), float(metrics["dice"]), state
+
+    loss_1, dice_1, state_1 = run(None)
+    mesh = create_mesh()
+    loss_8, dice_8, state_8 = run(mesh)
+    # pre-update forward metrics must agree across shardings (XLA computes
+    # BN stats and the loss over the full logical batch either way)
+    assert abs(loss_1 - loss_8) < 1e-4, (loss_1, loss_8)
+    assert abs(dice_1 - dice_8) < 1e-4
+    # note: post-update params are NOT compared — Adam's first step is
+    # ±lr*sign(grad), and near-zero grads flip sign under the different
+    # reduction orders of different partitionings
+    assert int(state_8.step) == 1
+
+
+def test_sharded_eval_step():
+    model = create_model("unet")
+    mesh = create_mesh()
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((8, 32, 32, 3)))
+    state = replicate_state(mesh, state)
+    rng = np.random.default_rng(1)
+    imgs, masks = shard_batch(
+        mesh,
+        rng.standard_normal((8, 32, 32, 3)).astype(np.float32),
+        (rng.uniform(size=(8, 32, 32, 1)) > 0.5).astype(np.float32),
+    )
+    eval_step = make_eval_step(model)
+    metrics = eval_step(variables_of(state), imgs, masks)
+    assert np.isfinite(float(metrics["loss"]))
+    assert metrics["main"].shape == (8, 32, 32, 1)

@@ -9,12 +9,16 @@ from unet_zoo_tpu.models import create_model, list_models
 
 # models needing an image_size hint at small test resolution
 _SIZE_HINTS = {}
+# per-model kwargs at test resolution (swin window 7 requires 224-divisible
+# sizes — same constraint as the reference; the default YAML uses window 8)
+_KWARG_HINTS = {"swin_unet_v2": {"window_size": 8}}
 _TEST_SIZE = 64
 
 
 def _make(name):
     kwargs = {"in_channels": 3, "num_classes": 1}
     kwargs["image_size"] = _SIZE_HINTS.get(name, _TEST_SIZE)
+    kwargs.update(_KWARG_HINTS.get(name, {}))
     return create_model(name, **kwargs)
 
 

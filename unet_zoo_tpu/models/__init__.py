@@ -174,6 +174,8 @@ from unet_zoo_tpu.models.raunet import RAUNet
 from unet_zoo_tpu.models.da_transformer import DATransformer, get_da_transformer_config
 from unet_zoo_tpu.models.missformer import MISSFormer
 from unet_zoo_tpu.models.uctransnet import UCTransNet, get_uctransnet_config
+from unet_zoo_tpu.models.swin_unet_v2 import SwinUNetV2
+from unet_zoo_tpu.models.medt_net import ResAxialAttentionUNet
 
 _U2NET_LOSS_WEIGHTS = {  # ref: utils/training_loop.py:23-31
     "main": 1.0, "side1": 1.0, "side2": 1.0, "side3": 1.0,
@@ -348,6 +350,75 @@ def _build_uctransnet(in_channels, num_classes, image_size, depth, dtype, **kw):
         num_heads=config["transformer"]["num_heads"],
         expand_ratio=config["expand_ratio"], dtype=dtype, **kw,
     )
+
+
+@register_model("swin_unet_v2", requires_image_size=True)
+def _build_swin_unet_v2(in_channels, num_classes, image_size, depth, dtype, **kw):
+    return SwinUNetV2(
+        img_size=image_size,
+        patch_size=kw.pop("patch_size", 4),
+        in_chans=in_channels,
+        num_classes=num_classes,
+        embed_dim=kw.pop("embed_dim", 96),
+        depths=tuple(kw.pop("depths", (2, 2, 2, 2))),
+        num_heads=tuple(kw.pop("num_heads", (3, 6, 12, 24))),
+        window_size=kw.pop("window_size", 7),
+        mlp_ratio=kw.pop("mlp_ratio", 4.0),
+        qkv_bias=kw.pop("qkv_bias", True),
+        qk_scale=kw.pop("qk_scale", None),
+        drop_rate=kw.pop("drop_rate", 0.0),
+        attn_drop_rate=kw.pop("attn_drop_rate", 0.0),
+        drop_path_rate=kw.pop("drop_path_rate", 0.1),
+        ape=kw.pop("ape", False),
+        patch_norm=kw.pop("patch_norm", True),
+        use_mlp=kw.pop("use_mlp", False),
+        dtype=dtype,
+        **{k: v for k, v in kw.items()
+           if k not in ("depths_decoder", "use_checkpoint", "final_upsample",
+                        "norm_layer")},
+    )
+
+
+def _build_medt_family(mode, in_channels, num_classes, image_size, dtype, kw):
+    # factory defaults per ref: models/__init__.py:209-219, medt_net.py:666-749
+    for dead in ("norm_layer", "zero_init_residual", "replace_stride_with_dilation",
+                 "layers", "s"):
+        kw.pop(dead, None)
+    return ResAxialAttentionUNet(
+        mode=mode,
+        num_classes=num_classes,
+        in_channels=in_channels,
+        img_size=image_size if image_size is not None else 128,
+        groups=kw.pop("groups", 8),
+        width_per_group=kw.pop("width_per_group", 64),
+        dtype=dtype,
+        **kw,
+    )
+
+
+@register_model("axialunet", default_image_size=128)
+def _build_axialunet(in_channels, num_classes, image_size, depth, dtype,
+                     pretrained=False, **kw):
+    return _build_medt_family("base", in_channels, num_classes, image_size, dtype, kw)
+
+
+@register_model("gated", default_image_size=128)
+def _build_gated(in_channels, num_classes, image_size, depth, dtype,
+                 pretrained=False, **kw):
+    return _build_medt_family("gated", in_channels, num_classes, image_size, dtype, kw)
+
+
+@register_model("medt", default_image_size=128)
+def _build_medt(in_channels, num_classes, image_size, depth, dtype,
+                pretrained=False, **kw):
+    return _build_medt_family("wopos", in_channels, num_classes, image_size, dtype, kw)
+
+
+@register_model("logo", default_image_size=128)
+def _build_logo(in_channels, num_classes, image_size, depth, dtype,
+                pretrained=False, **kw):
+    # wired identically to 'gated', as in the reference (ref medt_net.py:731-749)
+    return _build_medt_family("gated", in_channels, num_classes, image_size, dtype, kw)
 
 
 @register_model("vnet")

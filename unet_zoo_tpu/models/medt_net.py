@@ -1,0 +1,232 @@
+"""MedT axial-attention family (TPU-native rebuild of ref: unet_zoo/models/medt_net.py).
+
+Axial attention factorizes 2D attention into 1D row/col passes with
+relative position embeddings entering through a 5-way interaction: qk, qr,
+kr similarity terms BatchNorm'd jointly (BN over the similarity logits is
+the family's unusual signature, ref :101-103), and sv/sve output terms
+BatchNorm'd pairwise (ref :108-109). Variants:
+
+* ``base``  — AxialAttention (ref :50-123), used by ``axialunet``
+* ``gated`` — AxialAttention_dynamic with learnable scalar gates
+  f_qr/f_kr/f_sv/f_sve (ref :125-209), used by ``gated`` and ``logo``
+* ``wopos`` — position-free (ref :211-267), used by ``medt``
+
+Registry quirk reproduced: the reference wires ``logo`` identically to
+``gated`` (ref :731-749); its true LoGo dual-branch class ``medt_net``
+(ref :510-664) is dead code there and is not reproduced.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from unet_zoo_tpu.nn import BatchNorm
+from unet_zoo_tpu.ops import avg_pool2d, resize_bilinear
+
+
+@functools.lru_cache(maxsize=None)
+def _relative_index(kernel_size: int) -> np.ndarray:
+    q = np.arange(kernel_size)[None, :]
+    k = np.arange(kernel_size)[:, None]
+    return (k - q + kernel_size - 1).reshape(-1)
+
+
+class AxialAttention(nn.Module):
+    """One-axis attention (ref :50-123 / :125-209 / :211-267)."""
+
+    out_planes: int
+    groups: int = 8
+    kernel_size: int = 56
+    stride: int = 1
+    width_axis: bool = False
+    mode: str = "base"  # 'base' | 'gated' | 'wopos'
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        dt = self.dtype
+        b, h, w, c_in = x.shape
+        g = self.groups
+        gp = self.out_planes // g
+        ks = self.kernel_size
+
+        if self.width_axis:
+            tokens = x.reshape(b * h, w, c_in)
+            length = w
+        else:
+            tokens = x.transpose(0, 2, 1, 3).reshape(b * w, h, c_in)
+            length = h
+
+        # qkv 1x1 conv + BN over channels (ref :64-66)
+        qkv_init = nn.initializers.normal(np.sqrt(1.0 / c_in))
+        qkv = nn.Dense(self.out_planes * 2, use_bias=False, kernel_init=qkv_init,
+                       dtype=dt, name="qkv")(tokens)
+        qkv = BatchNorm(train, dt, name="bn_qkv")(qkv)
+        qkv = qkv.reshape(-1, length, g, gp * 2)
+        q = qkv[..., : gp // 2]
+        k = qkv[..., gp // 2 : gp]
+        v = qkv[..., gp:]
+
+        if self.mode == "wopos":
+            sim = jnp.einsum("bigc,bjgc->bijg", q, k)
+            sim = BatchNorm(train, dt, name="bn_similarity")(sim)
+            sim = nn.softmax(sim, axis=2)  # over keys j
+            sv = jnp.einsum("bijg,bjgc->bigc", sim, v)
+            sv = sv.reshape(-1, length, self.out_planes)
+            out = BatchNorm(train, dt, name="bn_output")(sv)
+        else:
+            rel_init = nn.initializers.normal(np.sqrt(1.0 / gp))
+            relative = self.param("relative", rel_init,
+                                  (gp * 2, 2 * ks - 1), jnp.float32)
+            emb = relative[:, jnp.asarray(_relative_index(ks))]
+            emb = emb.reshape(gp * 2, ks, ks).astype(dt)
+            q_emb = emb[: gp // 2]
+            k_emb = emb[gp // 2 : gp]
+            v_emb = emb[gp:]
+
+            qr = jnp.einsum("bigc,cij->bijg", q, q_emb[:, :length, :length])
+            kr = jnp.einsum("bjgc,cji->bijg", k, k_emb[:, :length, :length])
+            qk = jnp.einsum("bigc,bjgc->bijg", q, k)
+
+            if self.mode == "gated":
+                f_qr = self.param("f_qr", nn.initializers.constant(0.1), ())
+                f_kr = self.param("f_kr", nn.initializers.constant(0.1), ())
+                qr = qr * f_qr.astype(dt)
+                kr = kr * f_kr.astype(dt)
+
+            # BN over the 3*g similarity channels, then sum the 3 terms
+            stacked = jnp.concatenate([qk, qr, kr], axis=-1)  # [b,i,j,3g]
+            stacked = BatchNorm(train, dt, name="bn_similarity")(stacked)
+            sim = stacked.reshape(-1, length, length, 3, g).sum(axis=3)
+            sim = nn.softmax(sim, axis=2)
+
+            sv = jnp.einsum("bijg,bjgc->bigc", sim, v)
+            sve = jnp.einsum("bijg,cij->bigc", sim, v_emb[:, :length, :length])
+            if self.mode == "gated":
+                f_sv = self.param("f_sv", nn.initializers.constant(1.0), ())
+                f_sve = self.param("f_sve", nn.initializers.constant(0.1), ())
+                sv = sv * f_sv.astype(dt)
+                sve = sve * f_sve.astype(dt)
+
+            # pairwise (sv, sve) channel interleave then BN then sum (ref :108-109)
+            paired = jnp.stack([sv, sve], axis=-1)  # [b,i,g,gp,2]
+            paired = paired.reshape(-1, length, self.out_planes * 2)
+            paired = BatchNorm(train, dt, name="bn_output")(paired)
+            out = paired.reshape(-1, length, g, gp, 2).sum(axis=-1)
+            out = out.reshape(-1, length, self.out_planes)
+
+        if self.width_axis:
+            out = out.reshape(b, h, w, self.out_planes)
+        else:
+            out = out.reshape(b, w, h, self.out_planes).transpose(0, 2, 1, 3)
+        if self.stride > 1:
+            out = avg_pool2d(out, self.stride, self.stride)
+        return out
+
+
+class AxialBlock(nn.Module):
+    """conv1x1 down → height attn → width attn(stride) → conv1x1 up +
+    residual (ref :269-394)."""
+
+    planes: int
+    kernel_size: int
+    stride: int = 1
+    groups: int = 8
+    base_width: int = 64
+    mode: str = "base"
+    expansion: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        dt = self.dtype
+        width = int(self.planes * (self.base_width / 64.0))
+        out_ch = self.planes * self.expansion
+
+        identity = x
+        h = nn.Conv(width, (1, 1), use_bias=False, dtype=dt, name="conv_down")(x)
+        h = nn.relu(BatchNorm(train, dt, name="bn1")(h))
+        h = AxialAttention(width, self.groups, self.kernel_size, mode=self.mode,
+                           dtype=dt, name="hight_block")(h, train)
+        h = AxialAttention(width, self.groups, self.kernel_size,
+                           stride=self.stride, width_axis=True, mode=self.mode,
+                           dtype=dt, name="width_block")(h, train)
+        h = nn.relu(h)
+        h = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=dt, name="conv_up")(h)
+        h = BatchNorm(train, dt, name="bn2")(h)
+
+        if self.stride != 1 or x.shape[-1] != out_ch:
+            identity = nn.Conv(out_ch, (1, 1), strides=(self.stride, self.stride),
+                               use_bias=False, dtype=dt, name="downsample_conv")(x)
+            identity = BatchNorm(train, dt, name="downsample_bn")(identity)
+        return nn.relu(h + identity)
+
+
+class ResAxialAttentionUNet(nn.Module):
+    """Axial-attention UNet (ref :396-508): 3-conv stem (stride-2 first),
+    4 axial stages scaled by ``s``, plain conv+bilinear-upsample decoder
+    with additive skips."""
+
+    mode: str = "base"
+    layers: Sequence[int] = (1, 2, 4, 1)
+    num_classes: int = 1
+    in_channels: int = 3
+    img_size: int = 128
+    s: float = 0.125
+    groups: int = 8
+    width_per_group: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:
+        dt = self.dtype
+        s = self.s
+        expansion = 2
+        inplanes = int(64 * s)
+
+        # stem (ref :418-424,470-478)
+        h = nn.Conv(inplanes, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, dtype=dt, name="conv1")(x)
+        h = nn.relu(BatchNorm(train, dt, name="bn1")(h))
+        h = nn.Conv(128, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=dt, name="conv2")(h)
+        h = nn.relu(BatchNorm(train, dt, name="bn2")(h))
+        h = nn.Conv(inplanes, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=dt, name="conv3")(h)
+        h = nn.relu(BatchNorm(train, dt, name="bn3")(h))
+
+        img = self.img_size
+        stage_specs = [
+            (int(128 * s), self.layers[0], 1, img // 2),
+            (int(256 * s), self.layers[1], 2, img // 2),
+            (int(512 * s), self.layers[2], 2, img // 4),
+            (int(1024 * s), self.layers[3], 2, img // 8),
+        ]
+        skips = []
+        for li, (planes, blocks, stride, ks) in enumerate(stage_specs):
+            for bi in range(blocks):
+                h = AxialBlock(
+                    planes, ks if bi == 0 else (ks // 2 if stride != 1 else ks),
+                    stride if bi == 0 else 1, self.groups, self.width_per_group,
+                    self.mode, expansion, dtype=dt, name=f"layer{li + 1}_{bi}",
+                )(h, train)
+            skips.append(h)
+        x1, x2, x3, x4 = skips
+
+        def dec(z, feats, name):
+            z = resize_bilinear(z, (z.shape[1] * 2, z.shape[2] * 2),
+                                align_corners=True)
+            return nn.Conv(feats, (3, 3), padding=((1, 1), (1, 1)), dtype=dt,
+                           name=name)(z)
+
+        u = nn.relu(dec(x4, int(512 * expansion * s), "decoder1") + x3)
+        u = nn.relu(dec(u, int(256 * expansion * s), "decoder2") + x2)
+        u = nn.relu(dec(u, int(128 * expansion * s), "decoder3") + x1)
+        u = nn.relu(dec(u, int(64 * expansion * s), "decoder4"))
+        out = nn.Conv(self.num_classes, (1, 1), dtype=dt, name="final_conv")(u)
+        return {"main": out}

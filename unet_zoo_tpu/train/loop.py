@@ -1,0 +1,248 @@
+"""Training/eval epoch driver (TPU-native rebuild of ref: unet_zoo/utils/training_loop.py).
+
+Replicates the reference's observable behavior — epoch train/val, Dice
+metric, early stopping (mode max), Dice-plateau LR scheduling, per-epoch
+checkpoints, console/file/TensorBoard logging cadence — with a TPU-shaped
+execution model:
+
+* one jit'd train_step/eval_step per model (loss + grads + clip + AdamW +
+  Dice in one XLA program; see train/steps.py)
+* metrics accumulate as device scalars; the host syncs only at logging
+  boundaries, not per batch (the reference pays an .item() sync every
+  batch, ref :123-124)
+* best AND last checkpoints are written every improvement/epoch via orbax
+  (fixing quirk Q1 — the reference never writes *_best)
+* optional Mesh: batches are sharded over the 'data' axis, parameters
+  replicated; XLA inserts the gradient all-reduce over ICI.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unet_zoo_tpu.config import Config
+from unet_zoo_tpu.models import ZooModel
+from unet_zoo_tpu.parallel import batch_sharding, replicate_state
+from unet_zoo_tpu.train.early_stopping import EarlyStopping
+from unet_zoo_tpu.train.lr_scheduler import DiceScheduler
+from unet_zoo_tpu.train.steps import (
+    TrainState,
+    create_train_state,
+    get_lr,
+    make_eval_step,
+    make_train_step,
+    set_lr,
+    variables_of,
+)
+from unet_zoo_tpu.utils.checkpoint import save_checkpoint
+from unet_zoo_tpu.utils.logger import Logger
+
+
+class _NullWriter:
+    def add_scalar(self, *a, **k):
+        pass
+
+    def close(self):
+        pass
+
+
+def _make_writer(log_dir: str):
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        return SummaryWriter(log_dir)
+    except Exception:
+        return _NullWriter()
+
+
+def _epoch_mean(acc: List[jnp.ndarray]) -> float:
+    if not acc:
+        return 0.0
+    return float(jnp.mean(jnp.stack(acc)))
+
+
+def train_one_epoch(train_step, state: TrainState, dataloader, epoch: int,
+                    model_name: str, writer, logger: Logger,
+                    sharding=None) -> Tuple[TrainState, float, float]:
+    losses, dices = [], []
+    steps_per_epoch = len(dataloader)
+    for idx, (imgs, masks, _) in enumerate(dataloader):
+        if sharding is not None:
+            imgs = jax.device_put(imgs, sharding)
+            masks = jax.device_put(masks, sharding)
+        state, metrics = train_step(state, imgs, masks)
+        losses.append(metrics["loss"])
+        dices.append(metrics["dice"])
+
+        if idx % 50 == 0:  # file-log cadence (ref :126-136)
+            logger.log_file_only(
+                f"{model_name} - Batch {idx}: Loss={float(metrics['loss']):.4f}, "
+                f"Dice={float(metrics['dice']):.4f}"
+            )
+        if idx % 100 == 0:  # TB cadence (ref :138-141)
+            global_step = epoch * steps_per_epoch + idx
+            writer.add_scalar(f"Batch/{model_name}_Train_Loss",
+                              float(metrics["loss"]), global_step)
+            writer.add_scalar(f"Batch/{model_name}_Train_Dice",
+                              float(metrics["dice"]), global_step)
+    return state, _epoch_mean(losses), _epoch_mean(dices)
+
+
+def validate_one_epoch(eval_step, variables, dataloader, model_name: str,
+                       logger: Logger, sharding=None) -> Tuple[float, float]:
+    losses, dices = [], []
+    for imgs, masks, _ in dataloader:
+        if sharding is not None:
+            imgs = jax.device_put(imgs, sharding)
+            masks = jax.device_put(masks, sharding)
+        metrics = eval_step(variables, imgs, masks)
+        losses.append(metrics["loss"])
+        dices.append(metrics["dice"])
+    return _epoch_mean(losses), _epoch_mean(dices)
+
+
+def train_model(
+    model: ZooModel,
+    train_dataloader,
+    val_dataloader,
+    config: Config,
+    model_name: str,
+    best_checkpoint_path: str,
+    last_checkpoint_path: str,
+    logger: Logger,
+    mesh=None,
+    rng: Optional[jax.Array] = None,
+    state: Optional[TrainState] = None,
+) -> Tuple[List[float], List[float], List[float], List[float], bool]:
+    """Full training run for one model (ref train_model :182-285)."""
+    tb_dir = os.path.join(config.TENSORBOARD_BASE_DIR,
+                          model_name.replace(" ", "_").lower())
+    writer = _make_writer(tb_dir)
+    logger.log_both(f"TensorBoard logs for {model_name} will be saved to: {tb_dir}")
+
+    early_stopping = EarlyStopping(
+        patience=config.EARLY_STOPPING_PATIENCE, min_delta=0.0,
+        restore_best_weights=True, verbose=True, mode="max")
+    dice_scheduler = DiceScheduler(
+        lr=config.LEARNING_RATE, patience=config.LR_SCHEDULER_PATIENCE,
+        factor=config.LR_SCHEDULER_FACTOR, min_lr=config.MIN_LR,
+        min_delta=0.0, verbose=True, mode="max")
+
+    if state is None:
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        sample = model.dummy_input(batch=1, image_size=config.IMAGE_SIZE)
+        state = create_train_state(
+            model, rng, sample, learning_rate=config.LEARNING_RATE,
+            weight_decay=config.WEIGHT_DECAY,
+            max_grad_norm=config.MAX_GRAD_NORM)
+
+    sharding = None
+    if mesh is not None:
+        state = replicate_state(mesh, state)
+        sharding = batch_sharding(mesh)
+
+    train_step = make_train_step(model)
+    eval_step = make_eval_step(model)
+
+    train_losses: List[float] = []
+    train_dcs: List[float] = []
+    val_losses: List[float] = []
+    val_dcs: List[float] = []
+    early_stopped = False
+
+    logger.log_both(
+        f"\nStarting training for {model_name} - {config.EPOCHS} epochs on "
+        f"{config.get_device_info()}")
+    logger.log_both(
+        f"  Early Stopping: patience={config.EARLY_STOPPING_PATIENCE}, mode='max'")
+    logger.log_both(
+        f"  LR Scheduler: patience={config.LR_SCHEDULER_PATIENCE}, "
+        f"factor={config.LR_SCHEDULER_FACTOR}, min_lr={config.MIN_LR}, mode='max'")
+
+    epoch = -1
+    for epoch in range(config.EPOCHS):
+        state, train_loss, train_dc = train_one_epoch(
+            train_step, state, train_dataloader, epoch, model_name, writer,
+            logger, sharding)
+        train_losses.append(train_loss)
+        train_dcs.append(train_dc)
+
+        val_loss, val_dc = validate_one_epoch(
+            eval_step, variables_of(state), val_dataloader, model_name, logger,
+            sharding)
+        val_losses.append(val_loss)
+        val_dcs.append(val_dc)
+
+        new_lr = dice_scheduler.step(val_dc, epoch + 1)
+        if abs(new_lr - get_lr(state)) > 1e-12:
+            state = set_lr(state, new_lr)
+
+        improved = early_stopping.best_score is None or (
+            val_dc > early_stopping.best_score)
+        early_stopping(val_dc, variables_of(state), epoch + 1)
+        if improved:
+            save_checkpoint(best_checkpoint_path, {
+                "variables": variables_of(state),
+                "meta": {"epoch": epoch + 1, "val_dice": val_dc,
+                         "model_name": model_name},
+            })
+        save_checkpoint(last_checkpoint_path, {
+            "variables": variables_of(state),
+            "opt_state": state.opt_state,
+            "step": int(state.step),
+            "meta": {"epoch": epoch + 1, "val_dice": val_dc,
+                     "model_name": model_name},
+            "scheduler": dice_scheduler.state_dict(),
+            "early_stopping": early_stopping.state_dict(),
+        })
+
+        current_lr = get_lr(state)
+        writer.add_scalar(f"Epoch/{model_name}_Train_Loss", train_loss, epoch + 1)
+        writer.add_scalar(f"Epoch/{model_name}_Train_Dice", train_dc, epoch + 1)
+        writer.add_scalar(f"Epoch/{model_name}_Val_Loss", val_loss, epoch + 1)
+        writer.add_scalar(f"Epoch/{model_name}_Val_Dice", val_dc, epoch + 1)
+        writer.add_scalar(f"{model_name}_Learning_Rate", current_lr, epoch + 1)
+
+        epoch_log = "-" * 60
+        epoch_log += f"\n{model_name} - Epoch {epoch + 1}/{config.EPOCHS}"
+        epoch_log += f"\n  Train Loss: {train_loss:.6f} | Train DICE: {train_dc:.6f}"
+        epoch_log += f"\n  Val Loss:   {val_loss:.6f} | Val DICE:   {val_dc:.6f}"
+        epoch_log += f"\n  Learning Rate: {current_lr:.8f}"
+        epoch_log += f"\n  Best Val Dice: {early_stopping.get_best_score():.6f}"
+        epoch_log += f"\n{'-' * 60}"
+        logger.log_both(epoch_log)
+
+        if early_stopping.early_stop:
+            logger.log_both(
+                f"\nEarly stopping triggered for {model_name} at epoch {epoch + 1}")
+            logger.log_both(
+                f"Best validation dice: {early_stopping.get_best_score():.6f}")
+            early_stopped = True
+            break
+
+    writer.close()
+    final = f"Training {'stopped early' if early_stopped else 'completed'} for {model_name}"
+    final += f" after {epoch + 1 if early_stopped else config.EPOCHS} epochs"
+    logger.log_both(final)
+    logger.log_both(
+        f"Best validation Dice coefficient for {model_name}: "
+        f"{early_stopping.get_best_score():.6f}")
+    return train_losses, train_dcs, val_losses, val_dcs, early_stopped
+
+
+def evaluate_model(model: ZooModel, variables, test_dataloader,
+                   model_name: str, logger: Logger,
+                   sharding=None) -> Tuple[float, float]:
+    """Test-set evaluation (ref evaluate_model :287-325)."""
+    eval_step = make_eval_step(model)
+    logger.log_both(f"\nEvaluating {model_name} on test set...")
+    loss, dice = validate_one_epoch(eval_step, variables, test_dataloader,
+                                    model_name, logger, sharding)
+    logger.log_both(f"{model_name} - Final Test Loss: {loss:.4f}")
+    logger.log_both(f"{model_name} - Final Test DICE: {dice:.4f}")
+    return loss, dice

@@ -33,6 +33,31 @@ def dice_coefficient(
     return jnp.where(union == 0, jnp.float32(1.0), dice)
 
 
+def check_dataset_integrity(dataset_path: str, logger) -> None:
+    """Print unique mask values for a few files per split
+    (ref: utils/metrics.py:26-40)."""
+    import os
+
+    import numpy as np
+
+    logger.log_both("Checking dataset integrity...")
+    for split in ["train", "test", "valid"]:
+        masks_path = os.path.join(dataset_path, split, "masks")
+        if os.path.exists(masks_path):
+            from PIL import Image
+
+            mask_files = [
+                f for f in os.listdir(masks_path)
+                if f.endswith((".png", ".jpg", ".jpeg"))
+            ][:3]
+            for mask_file in mask_files:
+                mask = Image.open(os.path.join(masks_path, mask_file)).convert("L")
+                arr = np.array(mask)
+                logger.log_both(
+                    f"{split}/{mask_file}: unique values = {np.unique(arr)}, "
+                    f"shape = {arr.shape}")
+
+
 def iou_score(
     prediction_logits: jnp.ndarray,
     target: jnp.ndarray,

@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Throughput benchmark — prints ONE JSON line for the driver.
+
+Headline metric (BASELINE.json): images/sec/chip at 256x256 inference on
+the flagship ``unet``, bfloat16 compute. ``vs_baseline`` is the ratio
+against the 5000 img/s/chip north star.
+
+Methodology notes (important on this image's tunneled TPU backend):
+* the relay caches (program, args) → result, and block_until_ready() does
+  not actually wait — so N batches are scanned inside ONE compiled program
+  over freshly-uploaded data, and completion is forced by fetching a
+  scalar that data-depends on every output.
+* compile/warmup runs use a different input array than the timed run.
+
+Usage: python bench.py [--model unet] [--batch 32] [--size 256]
+                       [--dtype bfloat16] [--mode fwd|train] [--nbatches 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+NORTH_STAR_IMG_PER_SEC = 5000.0
+
+
+def bench_model(model_name: str, batch: int, size: int, dtype_str: str,
+                mode: str, nbatches: int = 10) -> float:
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from unet_zoo_tpu.models import create_model
+    from unet_zoo_tpu.train.steps import create_train_state, make_optimizer
+    from unet_zoo_tpu.train.losses import multi_output_loss
+
+    dtype = jnp.bfloat16 if dtype_str == "bfloat16" else jnp.float32
+    kwargs = {"dtype": dtype, "image_size": size}
+    if model_name == "swin_unet_v2":
+        kwargs["window_size"] = 8
+    model = create_model(model_name, **kwargs)
+
+    rng = np.random.default_rng(0)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, size, size, 3), jnp.float32))
+
+    def upload(seed):
+        x = jax.device_put(rng.standard_normal(
+            (nbatches, batch, size, size, 3)).astype(np.float32))
+        float(jnp.sum(x))  # force materialization on device
+        return x
+
+    if mode == "train":
+        masks_np = (rng.uniform(size=(nbatches, batch, size, size, 1)) > 0.5
+                    ).astype(np.float32)
+        masks = jax.device_put(masks_np)
+        float(jnp.sum(masks))
+        state = create_train_state(model, jax.random.PRNGKey(0),
+                                   jnp.zeros((1, size, size, 3), jnp.float32),
+                                   learning_rate=1e-4)
+
+        @jax.jit
+        def scan_train(params, batch_stats, opt_state, X, M):
+            tx = make_optimizer(1e-4)
+
+            def body(carry, xm):
+                params, batch_stats, opt_state = carry
+                xb, mb = xm
+
+                def loss_fn(p, bs):
+                    var = {"params": p}
+                    if bs:
+                        var["batch_stats"] = bs
+                    out, mut = model.module.apply(
+                        var, xb, train=True, mutable=["batch_stats"],
+                        rngs={"dropout": jax.random.PRNGKey(0)})
+                    return multi_output_loss(out, mb, model.loss_weight), mut
+
+                (loss, mut), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, batch_stats)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                import optax
+
+                params = optax.apply_updates(params, updates)
+                return (params, mut.get("batch_stats", batch_stats),
+                        opt_state), loss
+
+            carry, losses = lax.scan(
+                body, (params, batch_stats, opt_state), (X, M))
+            return jnp.sum(losses)
+
+        args0 = (state.params, state.batch_stats, state.opt_state)
+        x_warm = upload(1)
+        float(scan_train(*args0, x_warm, masks))  # compile + warm
+        x_timed = upload(2)
+        t0 = time.perf_counter()
+        float(scan_train(*args0, x_timed, masks))
+        dt = time.perf_counter() - t0
+    else:
+        @jax.jit
+        def scan_fwd(v, X):
+            def body(carry, xb):
+                out = model.module.apply(v, xb, train=False)["main"]
+                return carry + jnp.sum(out.astype(jnp.float32)), None
+
+            s, _ = lax.scan(body, jnp.float32(0.0), X)
+            return s
+
+        x_warm = upload(1)
+        float(scan_fwd(variables, x_warm))  # compile + warm
+        x_timed = upload(2)
+        t0 = time.perf_counter()
+        float(scan_fwd(variables, x_timed))
+        dt = time.perf_counter() - t0
+
+    return nbatches * batch / dt
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", default="unet")
+    parser.add_argument("--batch", type=int, default=32)
+    parser.add_argument("--size", type=int, default=256)
+    parser.add_argument("--dtype", default="bfloat16",
+                        choices=["bfloat16", "float32"])
+    parser.add_argument("--mode", default="fwd", choices=["fwd", "train"])
+    parser.add_argument("--nbatches", type=int, default=10)
+    args = parser.parse_args()
+
+    ips = bench_model(args.model, args.batch, args.size, args.dtype,
+                      args.mode, args.nbatches)
+    print(json.dumps({
+        "metric": f"{args.model}_{args.mode}_images_per_sec_{args.size}px",
+        "value": round(ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / NORTH_STAR_IMG_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

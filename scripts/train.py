@@ -18,6 +18,13 @@ import yaml
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# escape hatch: this image's sitecustomize pins jax to the TPU backend even
+# over JAX_PLATFORMS; set UNET_ZOO_PLATFORM=cpu to force CPU for dry runs
+if os.environ.get("UNET_ZOO_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["UNET_ZOO_PLATFORM"])
+
 from unet_zoo_tpu.config import Config
 from unet_zoo_tpu.data.datasets import BoneDataset
 from unet_zoo_tpu.data.loader import DataLoader

@@ -90,7 +90,10 @@ class ZooModel:
     def init(self, rng, sample: Optional[jnp.ndarray] = None):
         if sample is None:
             sample = self.dummy_input()
-        return self.module.init(rng, sample, train=False)
+        # jit the whole init: one compile instead of per-op eager dispatch
+        # (matters on remote-compile TPU backends)
+        init_fn = jax.jit(lambda r, s: self.module.init(r, s, train=False))
+        return init_fn(rng, sample)
 
     def apply(self, variables, x, train: bool = False, rngs=None, **kwargs):
         if train:

@@ -57,10 +57,13 @@ def visualize_inference_comparison(
                 "Skipping visualization for this model.")
             continue
         try:
+            params = dict(params)
             model = create_model(
-                name, in_channels=general_in_channels,
-                num_classes=general_num_classes,
-                image_size=general_image_size, **params)
+                name,
+                in_channels=params.pop("in_channels", general_in_channels),
+                num_classes=params.pop("num_classes", general_num_classes),
+                image_size=params.pop("image_size", general_image_size),
+                **params)
             restored = load_checkpoint(path)
             variables = restored.get("variables", restored)
             apply_fn = jax.jit(

@@ -1,0 +1,52 @@
+"""Profiling/accounting: parameter counts, FLOPs, profiler traces.
+
+The reference only has hand-written flops() methods on Swin components
+(ref: models/swin_unet_v2.py:763-788) and a param count in the scripts
+(ref: scripts/train.py:159-163). Here every model gets exact compiled
+FLOPs via XLA cost analysis plus jax.profiler trace capture.
+"""
+
+from __future__ import annotations
+
+import contextlib
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def count_parameters(params: Any) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(params))
+
+
+def model_flops(model, image_size: int = 256, batch: int = 1,
+                train: bool = False) -> Dict[str, float]:
+    """Compiled-forward FLOPs/bytes via XLA cost analysis."""
+    x = jnp.zeros((batch, image_size, image_size, model.in_channels),
+                  jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    def fwd(v, xb):
+        return model.module.apply(v, xb, train=False)["main"]
+
+    compiled = jax.jit(fwd).lower(variables, x).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0] if ca else {}
+    ca = ca or {}
+    return {
+        "params": count_parameters(variables["params"]),
+        "flops": float(ca.get("flops", 0.0)),
+        "flops_per_image": float(ca.get("flops", 0.0)) / batch,
+        "bytes_accessed": float(ca.get("bytes accessed", 0.0)),
+    }
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """jax.profiler trace context (view with TensorBoard/XProf)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

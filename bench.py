@@ -122,7 +122,7 @@ def bench_model(model_name: str, batch: int, size: int, dtype_str: str,
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default="unet")
-    parser.add_argument("--batch", type=int, default=32)
+    parser.add_argument("--batch", type=int, default=128)
     parser.add_argument("--size", type=int, default=256)
     parser.add_argument("--dtype", default="bfloat16",
                         choices=["bfloat16", "float32"])

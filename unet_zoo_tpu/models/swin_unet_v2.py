@@ -79,6 +79,7 @@ class WindowAttentionV2(nn.Module):
     qk_scale: Optional[float] = None
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -93,6 +94,29 @@ class WindowAttentionV2(nn.Module):
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=dt, name="qkv")(x)
         qkv = qkv.reshape(b_, n, 3, nh, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+        if self.use_pallas and not (train and self.attn_drop > 0):
+            from unet_zoo_tpu.ops.pallas import swin_window_attention
+
+            tau = self.param(
+                "tau", nn.initializers.ones,
+                (nh, self.window_size[0] * self.window_size[1],
+                 self.window_size[0] * self.window_size[1]), jnp.float32)
+            coords = jnp.asarray(_log_relative_coords(*self.window_size))[:n, :n]
+            bias = nn.Dense(256, dtype=dt, name="cpb_fc1")(coords.astype(dt))
+            bias = nn.relu(bias)
+            bias = nn.Dense(nh, dtype=dt, name="cpb_fc2")(bias)
+            bias = bias.transpose(2, 0, 1)  # [nh, N, N]
+            m = (mask if mask is not None
+                 else jnp.zeros((1, n, n), jnp.float32))
+            # q pre-scaled like the XLA path (cancels inside the cosine)
+            qp = (q * scale).transpose(0, 2, 1, 3)
+            out = swin_window_attention(
+                qp, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+                tau[:, :n, :n], bias, m)
+            out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
+            out = nn.Dense(c, dtype=dt, name="proj")(out)
+            return nn.Dropout(self.proj_drop, deterministic=not train)(out)
 
         q = (q * scale).astype(jnp.float32)
         k32 = k.astype(jnp.float32)
@@ -146,6 +170,7 @@ class SwinBlockV2(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     use_mlp: bool = False  # reference never applies its MLP (quirk)
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -172,7 +197,8 @@ class SwinBlockV2(nn.Module):
             mask = jnp.asarray(_shift_attn_mask(h, w, window, shift))
         attn_out = WindowAttentionV2(
             (window, window), self.num_heads, self.qkv_bias, self.qk_scale,
-            self.attn_drop, self.drop, dtype=dt, name="attn",
+            self.attn_drop, self.drop, use_pallas=self.use_pallas,
+            dtype=dt, name="attn",
         )(windows, mask, train)
 
         xs = window_reverse(attn_out, window, h, w)
@@ -269,6 +295,7 @@ class SwinUNetV2(nn.Module):
     ape: bool = False
     patch_norm: bool = True
     use_mlp: bool = False
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -300,7 +327,8 @@ class SwinUNetV2(nn.Module):
                     0 if i % 2 == 0 else self.window_size // 2,
                     self.mlp_ratio, self.qkv_bias, self.qk_scale,
                     self.drop_rate, self.attn_drop_rate, dp_slice[i],
-                    self.use_mlp, dtype=dt, name=f"{prefix}_blk{i}",
+                    self.use_mlp, self.use_pallas, dtype=dt,
+                    name=f"{prefix}_blk{i}",
                 )(h_, train)
             return h_
 

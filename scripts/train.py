@@ -41,6 +41,9 @@ def parse_arguments():
         description="Train UNet Zoo models (TPU-native).")
     parser.add_argument("--config", type=str, required=True,
                         help="Path to the YAML configuration file.")
+    parser.add_argument("--resume", action="store_true",
+                        help="Resume from each model's last checkpoint "
+                             "(requires run_timestamp pinned in the YAML).")
     return parser.parse_args()
 
 
@@ -141,7 +144,7 @@ def main():
                 model, train_loader, val_loader, config, model_name,
                 paths["model_checkpoint_paths"]["best"],
                 paths["model_checkpoint_paths"]["last"],
-                model_logger, mesh=mesh)
+                model_logger, mesh=mesh, resume=args.resume)
             tl, td, vl, vd, stopped = result
             metrics_history[model_name] = (tl, td, vl, vd)
             early_stopped_flags[model_name] = stopped

@@ -44,6 +44,9 @@ def parse_arguments():
     parser = argparse.ArgumentParser(
         description="Train, evaluate and visualize UNet Zoo models (TPU-native).")
     parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--resume", action="store_true",
+                        help="Resume from each model's last checkpoint "
+                             "(requires run_timestamp pinned in the YAML).")
     parser.add_argument("--skip-training", action="store_true",
                         help="Skip training (requires existing checkpoints).")
     parser.add_argument("--skip-evaluation", action="store_true",
@@ -127,7 +130,7 @@ def main():
                     model, train_loader, val_loader, config, model_name,
                     paths["model_checkpoint_paths"]["best"],
                     paths["model_checkpoint_paths"]["last"],
-                    model_logger, mesh=mesh)
+                    model_logger, mesh=mesh, resume=args.resume)
                 metrics_history[model_name] = (tl, td, vl, vd)
                 stopped_flags[model_name] = stopped
             finally:

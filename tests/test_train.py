@@ -148,3 +148,34 @@ def test_train_model_loop_writes_checkpoints(tmp_path):
                                 "unet", logger)
     assert np.isfinite(loss) and 0.0 <= dice <= 1.0
     logger.close()
+
+
+def test_train_model_resume(tmp_path):
+    from unet_zoo_tpu.train.loop import train_model
+
+    model = create_model("unet")
+    train_loader = DataLoader(SyntheticDataset(8, 32), batch_size=4,
+                              shuffle=True, drop_last=True)
+    val_loader = DataLoader(SyntheticDataset(4, 32, seed=1), batch_size=4)
+    logger = Logger(str(tmp_path / "log.txt"))
+    best = str(tmp_path / "unet_best")
+    last = str(tmp_path / "unet_last")
+
+    cfg2 = _tiny_config(tmp_path, epochs=2)
+    train_model(model, train_loader, val_loader, cfg2, "unet", best, last,
+                logger)
+    meta2 = load_checkpoint(last)["meta"]
+    assert meta2["epoch"] == 2
+
+    # resume with a 4-epoch budget: only 2 more epochs should run
+    cfg4 = _tiny_config(tmp_path, epochs=4)
+    tl, td, vl, vd, _ = train_model(
+        model, train_loader, val_loader, cfg4, "unet", best, last, logger,
+        resume=True)
+    assert len(tl) == 2, "resume should run only the remaining epochs"
+    meta4 = load_checkpoint(last)["meta"]
+    assert meta4["epoch"] == 4
+    # optimizer step count carried across the resume (2 epochs x 2 steps each)
+    restored = load_checkpoint(last)
+    assert int(np.asarray(restored["step"])) == 8
+    logger.close()

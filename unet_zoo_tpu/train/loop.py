@@ -39,7 +39,11 @@ from unet_zoo_tpu.train.steps import (
     set_lr,
     variables_of,
 )
-from unet_zoo_tpu.utils.checkpoint import save_checkpoint
+from unet_zoo_tpu.utils.checkpoint import (
+    checkpoint_exists,
+    load_checkpoint,
+    save_checkpoint,
+)
 from unet_zoo_tpu.utils.logger import Logger
 
 
@@ -118,8 +122,15 @@ def train_model(
     mesh=None,
     rng: Optional[jax.Array] = None,
     state: Optional[TrainState] = None,
+    resume: bool = False,
 ) -> Tuple[List[float], List[float], List[float], List[float], bool]:
-    """Full training run for one model (ref train_model :182-285)."""
+    """Full training run for one model (ref train_model :182-285).
+
+    ``resume=True`` restores params, optimizer state, step, LR-scheduler
+    and early-stopping state from ``last_checkpoint_path`` and continues
+    from the saved epoch (true resume — the reference cannot do this, it
+    only stores bare weights; SURVEY.md §5).
+    """
     tb_dir = os.path.join(config.TENSORBOARD_BASE_DIR,
                           model_name.replace(" ", "_").lower())
     writer = _make_writer(tb_dir)
@@ -133,6 +144,7 @@ def train_model(
         factor=config.LR_SCHEDULER_FACTOR, min_lr=config.MIN_LR,
         min_delta=0.0, verbose=True, mode="max")
 
+    start_epoch = 0
     if state is None:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         sample = model.dummy_input(batch=1, image_size=config.IMAGE_SIZE)
@@ -140,6 +152,31 @@ def train_model(
             model, rng, sample, learning_rate=config.LEARNING_RATE,
             weight_decay=config.WEIGHT_DECAY,
             max_grad_norm=config.MAX_GRAD_NORM)
+
+    if resume and checkpoint_exists(last_checkpoint_path):
+        target = {
+            "variables": variables_of(state),
+            "opt_state": state.opt_state,
+            "step": 0,
+        }
+        restored = load_checkpoint(last_checkpoint_path, target)
+        variables = restored["variables"]
+        state = state.replace(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=restored["opt_state"],
+            step=restored["step"],
+        )
+        if "scheduler" in restored:
+            dice_scheduler.load_state_dict(restored["scheduler"])
+        if "early_stopping" in restored:
+            early_stopping.load_state_dict(restored["early_stopping"])
+            # best weights live in the best checkpoint, not last
+        start_epoch = int(restored.get("meta", {}).get("epoch", 0))
+        logger.log_both(
+            f"Resumed {model_name} from {last_checkpoint_path} at epoch "
+            f"{start_epoch} (step {int(state.step)}, lr {dice_scheduler.lr:.2e})")
+        state = set_lr(state, dice_scheduler.lr)
 
     sharding = None
     if mesh is not None:
@@ -164,8 +201,8 @@ def train_model(
         f"  LR Scheduler: patience={config.LR_SCHEDULER_PATIENCE}, "
         f"factor={config.LR_SCHEDULER_FACTOR}, min_lr={config.MIN_LR}, mode='max'")
 
-    epoch = -1
-    for epoch in range(config.EPOCHS):
+    epoch = start_epoch - 1
+    for epoch in range(start_epoch, config.EPOCHS):
         state, train_loss, train_dc = train_one_epoch(
             train_step, state, train_dataloader, epoch, model_name, writer,
             logger, sharding)

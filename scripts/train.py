@@ -69,13 +69,18 @@ def setup_paths(working_dir, model_name, timestamp, base_run_dir):
     }
 
 
-def merged_model_params(overall_config, model_name, num_classes, image_size):
+def merged_model_params(overall_config, model_name, num_classes, image_size,
+                        compute_dtype="float32"):
     """Per-model YAML params + global defaults, copy-safe (fixes Q8)."""
     params = dict(
         overall_config.get("models", {}).get("params", {}).get(model_name) or {})
     params.setdefault("in_channels", 3)
     params.setdefault("num_classes", num_classes)
     params.setdefault("image_size", image_size)
+    if compute_dtype == "bfloat16" and "dtype" not in params:
+        import jax.numpy as jnp
+
+        params["dtype"] = jnp.bfloat16
     return params
 
 
@@ -103,9 +108,12 @@ def main():
     check_dataset_integrity(config.DATASET_DIR, logger)
 
     train_dataset = BoneDataset(config.DATASET_DIR, split="train",
-                                image_size=config.IMAGE_SIZE)
+                                image_size=config.IMAGE_SIZE,
+                                augment=config.AUGMENT,
+                                cache=config.CACHE_DATA)
     val_dataset = BoneDataset(config.DATASET_DIR, split="valid",
-                              image_size=config.IMAGE_SIZE)
+                              image_size=config.IMAGE_SIZE,
+                              cache=config.CACHE_DATA)
     logger.log_both(f"Train dataset size: {len(train_dataset)}")
     logger.log_both(f"Validation dataset size: {len(val_dataset)}")
 
@@ -127,7 +135,8 @@ def main():
         paths = setup_paths(config.WORKING_DIR, model_name,
                             config.RUN_TIMESTAMP, config.BASE_RUN_DIR)
         params = merged_model_params(
-            overall_config, model_name, config.NUM_CLASSES, config.IMAGE_SIZE)
+            overall_config, model_name, config.NUM_CLASSES, config.IMAGE_SIZE,
+            config.COMPUTE_DTYPE)
         model = create_model(model_name, **params)
 
         import jax

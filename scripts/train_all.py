@@ -73,7 +73,8 @@ def run_evaluation_phase(models_to_evaluate, overall_config, config,
                 f"Best checkpoint not found for {model_name}: {best}")
             continue
         params = merged_model_params(
-            overall_config, model_name, config.NUM_CLASSES, config.IMAGE_SIZE)
+            overall_config, model_name, config.NUM_CLASSES,
+            config.IMAGE_SIZE, config.COMPUTE_DTYPE)
         try:
             model = create_model(model_name, **params)
             restored = load_checkpoint(best)
@@ -104,8 +105,11 @@ def main():
     model_names = overall_config["models"]["names"]
 
     check_dataset_integrity(config.DATASET_DIR, logger)
-    train_ds = BoneDataset(config.DATASET_DIR, "train", image_size=config.IMAGE_SIZE)
-    val_ds = BoneDataset(config.DATASET_DIR, "valid", image_size=config.IMAGE_SIZE)
+    train_ds = BoneDataset(config.DATASET_DIR, "train",
+                           image_size=config.IMAGE_SIZE,
+                           augment=config.AUGMENT, cache=config.CACHE_DATA)
+    val_ds = BoneDataset(config.DATASET_DIR, "valid",
+                         image_size=config.IMAGE_SIZE, cache=config.CACHE_DATA)
     test_ds = BoneDataset(config.DATASET_DIR, "test", image_size=config.IMAGE_SIZE)
     train_loader = DataLoader(train_ds, config.BATCH_SIZE, shuffle=True,
                               drop_last=True, num_workers=config.NUM_WORKERS)
@@ -122,7 +126,8 @@ def main():
             paths = setup_paths(config.WORKING_DIR, model_name,
                                 config.RUN_TIMESTAMP, config.BASE_RUN_DIR)
             params = merged_model_params(
-                overall_config, model_name, config.NUM_CLASSES, config.IMAGE_SIZE)
+                overall_config, model_name, config.NUM_CLASSES,
+                config.IMAGE_SIZE, config.COMPUTE_DTYPE)
             model = create_model(model_name, **params)
             model_logger = Logger(paths["training_log_path"])
             try:

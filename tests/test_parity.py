@@ -125,13 +125,15 @@ def test_nested_unet_parity():
     np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-3)
 
 
-def test_u2net_parity():
+@pytest.mark.parametrize("variant", ["u2netp", "u2net"])
+def test_u2net_parity(variant):
     ref_mod = load_ref_module("u2net")
-    model = create_model("u2netp")  # small variant: faster, same code paths
+    model = create_model(variant)
     x, variables = _init(model, size=64)
     fp, fs = variables["params"], variables["batch_stats"]
 
-    tmodel = ref_mod.U2NETP(in_ch=3, out_ch=1)
+    tmodel = (ref_mod.U2NETP if variant == "u2netp" else ref_mod.U2NET)(
+        in_ch=3, out_ch=1)
     sd = {}
 
     def put_rebnconv(tkey, f, s):

@@ -23,6 +23,8 @@ class Config:
         self.DATASET_DIR = d["data"]["dataset_dir"]
         self.NUM_WORKERS = d["data"]["num_workers"]
         self.IMAGE_SIZE = d["data"].get("image_size", 512)
+        self.AUGMENT = d["data"].get("augment", False)
+        self.CACHE_DATA = d["data"].get("cache", False)
 
         t = d["training"]
         self.EPOCHS = t["epochs"]

@@ -33,11 +33,19 @@ class BoneDataset:
     """
 
     def __init__(self, root_path: str, split: str = "train",
-                 limit: Optional[int] = None, image_size: int = 512):
+                 limit: Optional[int] = None, image_size: int = 512,
+                 cache: bool = False, augment: bool = False, seed: int = 0):
         self.root_path = root_path
         self.split = split
         self.limit = limit
         self.image_size = image_size
+        self.cache = cache
+        self._cache: dict = {}
+        # train-time augmentation (reference lists this as future work,
+        # ref README.md roadmap): random horizontal/vertical flips applied
+        # jointly to image+mask
+        self.augment = augment
+        self._aug_rng = np.random.default_rng(seed)
 
         images_path = os.path.join(root_path, split, "images")
         masks_path = os.path.join(root_path, split, "masks")
@@ -65,7 +73,20 @@ class BoneDataset:
     def __len__(self) -> int:
         return len(self.images)
 
+    def _augment(self, img: np.ndarray, mask: np.ndarray):
+        if self._aug_rng.random() < 0.5:
+            img, mask = img[:, ::-1].copy(), mask[:, ::-1].copy()
+        if self._aug_rng.random() < 0.5:
+            img, mask = img[::-1].copy(), mask[::-1].copy()
+        return img, mask
+
     def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray, str]:
+        if self.cache and index in self._cache:
+            img_np, mask_np = self._cache[index]
+            if self.augment:
+                img_np, mask_np = self._augment(img_np, mask_np)
+            return img_np, mask_np, self.images[index]
+
         from PIL import Image  # lazy: PIL only needed for on-disk data
 
         size = (self.image_size, self.image_size)
@@ -77,7 +98,12 @@ class BoneDataset:
         )
         img_np = _normalize(np.asarray(img, dtype=np.float32) / 255.0)
         mask_np = (np.asarray(mask, dtype=np.float32) / 255.0 > 0.5).astype(np.float32)
-        return img_np, mask_np[..., None], self.images[index]
+        mask_np = mask_np[..., None]
+        if self.cache:
+            self._cache[index] = (img_np, mask_np)
+        if self.augment:
+            img_np, mask_np = self._augment(img_np, mask_np)
+        return img_np, mask_np, self.images[index]
 
 
 class SyntheticDataset:

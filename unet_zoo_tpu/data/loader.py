@@ -47,10 +47,14 @@ class DataLoader:
         idx = self._indices()
         self._epoch += 1
         nb = len(self)
-        with concurrent.futures.ThreadPoolExecutor(self.num_workers) as pool:
+        # separate pools: item decode (io) vs batch prefetch (1 slot) —
+        # a prefetch task mapping onto its own pool would self-deadlock
+        # at num_workers=1
+        with concurrent.futures.ThreadPoolExecutor(self.num_workers) as io_pool, \
+                concurrent.futures.ThreadPoolExecutor(1) as prefetch_pool:
             def load_batch(b):
                 sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
-                items = list(pool.map(self.dataset.__getitem__, sel))
+                items = list(io_pool.map(self.dataset.__getitem__, sel))
                 imgs = np.stack([it[0] for it in items])
                 masks = np.stack([it[1] for it in items])
                 paths = tuple(it[2] for it in items)
@@ -58,14 +62,9 @@ class DataLoader:
 
             pending: Optional[concurrent.futures.Future] = None
             for b in range(nb):
-                if pending is None:
-                    cur = load_batch(b)
-                else:
-                    cur = pending.result()
-                if b + 1 < nb:
-                    pending = pool.submit(load_batch, b + 1)
-                else:
-                    pending = None
+                cur = load_batch(b) if pending is None else pending.result()
+                pending = (prefetch_pool.submit(load_batch, b + 1)
+                           if b + 1 < nb else None)
                 yield cur
 
 

@@ -12,6 +12,7 @@ scheduler can change it between epochs without retracing.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -68,25 +69,37 @@ def set_lr(state: TrainState, lr: float) -> TrainState:
 
 
 def make_train_step(model: ZooModel,
-                    criterion: Callable = bce_with_logits) -> Callable:
+                    criterion: Callable = bce_with_logits,
+                    remat: bool = False) -> Callable:
     """Build the jitted train step for ``model``.
 
     Returns ``step(state, images, masks) -> (state, metrics)`` where metrics
     is ``{'loss': f32[], 'dice': f32[]}`` (device scalars).
+
+    The incoming ``state`` buffers are donated (the old params/opt_state
+    are dead after the update — halves peak HBM for the optimizer state).
+    ``remat=True`` checkpoints the forward (recompute activations in the
+    backward pass) to trade FLOPs for activation memory on big models.
     """
 
-    def loss_fn(params, batch_stats, images, masks, dropout_rng):
+    def forward(params, batch_stats, images, dropout_rng):
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
-        outputs, mutated = model.module.apply(
+        return model.module.apply(
             variables, images, train=True, mutable=["batch_stats"],
             rngs={"dropout": dropout_rng},
         )
+
+    if remat:
+        forward = jax.checkpoint(forward)
+
+    def loss_fn(params, batch_stats, images, masks, dropout_rng):
+        outputs, mutated = forward(params, batch_stats, images, dropout_rng)
         loss = multi_output_loss(outputs, masks, model.loss_weight, criterion)
         return loss, (outputs["main"], mutated.get("batch_stats", {}))
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, images: jnp.ndarray, masks: jnp.ndarray
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         dropout_rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)

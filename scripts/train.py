@@ -29,7 +29,7 @@ from unet_zoo_tpu.config import Config
 from unet_zoo_tpu.data.datasets import BoneDataset
 from unet_zoo_tpu.data.loader import DataLoader
 from unet_zoo_tpu.models import create_model
-from unet_zoo_tpu.parallel import create_mesh
+from unet_zoo_tpu.parallel import create_mesh_for_batch
 from unet_zoo_tpu.train.loop import train_model
 from unet_zoo_tpu.train.metrics import check_dataset_integrity
 from unet_zoo_tpu.utils.logger import Logger
@@ -94,7 +94,8 @@ def main():
     config = Config(overall_config)
     logger = Logger(os.path.join(config.OVERALL_LOG_DIR, "overall_training_log.txt"))
 
-    mesh = create_mesh() if config.USE_MULTI_GPU else None
+    mesh = (create_mesh_for_batch(config.BATCH_SIZE, config.device_count())
+        if config.USE_MULTI_GPU else None)
 
     logger.log_both("=" * 80)
     logger.log_both(f"UNET ZOO (TPU) TRAINING RUN — {config.RUN_TIMESTAMP}")

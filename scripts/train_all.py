@@ -26,7 +26,7 @@ from unet_zoo_tpu.config import Config
 from unet_zoo_tpu.data.datasets import BoneDataset
 from unet_zoo_tpu.data.loader import DataLoader
 from unet_zoo_tpu.models import create_model
-from unet_zoo_tpu.parallel import create_mesh
+from unet_zoo_tpu.parallel import create_mesh_for_batch
 from unet_zoo_tpu.train.loop import evaluate_model, train_model
 from unet_zoo_tpu.train.metrics import check_dataset_integrity
 from unet_zoo_tpu.utils.checkpoint import checkpoint_exists, load_checkpoint
@@ -101,7 +101,8 @@ def main():
         "run_timestamp", datetime.datetime.now().strftime("%Y%m%d-%H%M%S"))
     config = Config(overall_config)
     logger = Logger(os.path.join(config.OVERALL_LOG_DIR, "overall_pipeline_log.txt"))
-    mesh = create_mesh() if config.USE_MULTI_GPU else None
+    mesh = (create_mesh_for_batch(config.BATCH_SIZE, config.device_count())
+        if config.USE_MULTI_GPU else None)
     model_names = overall_config["models"]["names"]
 
     check_dataset_integrity(config.DATASET_DIR, logger)

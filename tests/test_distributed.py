@@ -53,6 +53,36 @@ def test_sharded_train_step_matches_single_device():
     assert int(state_8.step) == 1
 
 
+def test_fsdp_state_sharding_trains():
+    from unet_zoo_tpu.parallel import shard_state_fsdp
+
+    model = create_model("unet")
+    mesh = create_mesh()
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((8, 32, 32, 3)), learning_rate=1e-3)
+    state = shard_state_fsdp(mesh, state)
+
+    # params actually sharded: at least one big leaf is distributed
+    leaf = state.params["DownSample_3"]["DoubleConv_0"]["ConvNormAct_0"][
+        "Conv_0"]["kernel"]
+    assert not leaf.sharding.is_fully_replicated
+
+    rng = np.random.default_rng(2)
+    imgs, masks = shard_batch(
+        mesh,
+        rng.standard_normal((8, 32, 32, 3)).astype(np.float32),
+        (rng.uniform(size=(8, 32, 32, 1)) > 0.5).astype(np.float32),
+    )
+    step = make_train_step(model)
+    state, metrics = step(state, imgs, masks)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
+    # updated params keep the FSDP sharding (no silent re-replication)
+    leaf2 = state.params["DownSample_3"]["DoubleConv_0"]["ConvNormAct_0"][
+        "Conv_0"]["kernel"]
+    assert not leaf2.sharding.is_fully_replicated
+
+
 def test_sharded_eval_step():
     model = create_model("unet")
     mesh = create_mesh()

@@ -32,6 +32,17 @@ def create_mesh(devices: Optional[Sequence[jax.Device]] = None,
     return Mesh(arr, ("data", "model"))
 
 
+def create_mesh_for_batch(batch_size: int,
+                          max_devices: Optional[int] = None) -> Mesh:
+    """Data-parallel mesh over the most devices that divide ``batch_size``
+    (a batch not divisible by the mesh size cannot be sharded)."""
+    n_avail = len(jax.devices())
+    if max_devices is not None:
+        n_avail = min(n_avail, max_devices)
+    n = max(d for d in range(1, n_avail + 1) if batch_size % d == 0)
+    return create_mesh(jax.devices()[:n])
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Batch dim sharded over 'data', everything else replicated."""
     return NamedSharding(mesh, P("data"))

@@ -18,6 +18,22 @@ import jax
 import jax.numpy as jnp
 
 
+class ConfigDict(dict):
+    """Attribute-access dict, like the reference's ml_collections mock
+    (ref: models/common_layers.py:6-18). ``get_model_config`` returns
+    these so ``cfg.base_channel``-style access keeps working."""
+
+    def __getattr__(self, key):
+        try:
+            v = self[key]
+        except KeyError as e:
+            raise AttributeError(key) from e
+        return ConfigDict(v) if isinstance(v, dict) and not isinstance(v, ConfigDict) else v
+
+    def __setattr__(self, key, value):
+        self[key] = value
+
+
 @dataclasses.dataclass(frozen=True)
 class ModelSpec:
     """Declarative per-model metadata attached to a registry entry."""
@@ -62,8 +78,8 @@ def get_model_config(model_name: str, **kwargs) -> Dict[str, Any]:
     empty dict otherwise (ref: models/__init__.py:63-76)."""
     spec = _REGISTRY.get(model_name.lower())
     if spec is not None and spec.config_fn is not None:
-        return spec.config_fn(**kwargs)
-    return {}
+        return ConfigDict(spec.config_fn(**kwargs))
+    return ConfigDict()
 
 
 @dataclasses.dataclass

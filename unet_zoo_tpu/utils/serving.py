@@ -1,0 +1,72 @@
+"""Inference/serving helpers.
+
+``make_predictor`` builds a fixed-shape jitted predictor for a trained
+model: params cast to bfloat16 (halves weight HBM traffic; logits are
+computed in bf16 and thresholded in f32), optional sigmoid/threshold
+post-processing fused into the same XLA program, and optional mesh
+sharding for multi-chip serving.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from unet_zoo_tpu.models import ZooModel
+
+
+def cast_params_for_inference(variables: Any, dtype=jnp.bfloat16) -> Any:
+    """Cast floating-point params to ``dtype`` (batch stats stay f32)."""
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    out = dict(variables)
+    out["params"] = jax.tree_util.tree_map(cast, variables["params"])
+    return out
+
+
+def make_predictor(
+    model: ZooModel,
+    variables: Any,
+    output: str = "logits",   # 'logits' | 'probs' | 'mask'
+    threshold: float = 0.5,
+    cast_bf16: bool = True,
+    mesh=None,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Jitted ``predict(images NHWC) -> main output`` closure.
+
+    ``output='mask'`` returns the thresholded binary mask (uint8),
+    ``'probs'`` the sigmoid probabilities (f32), ``'logits'`` raw logits.
+    """
+    if cast_bf16:
+        variables = cast_params_for_inference(variables)
+    if mesh is not None:
+        from unet_zoo_tpu.parallel import replicate_state
+
+        variables = replicate_state(mesh, variables)
+
+    @jax.jit
+    def predict(images: jnp.ndarray) -> jnp.ndarray:
+        logits = model.module.apply(variables, images, train=False)["main"]
+        if output == "logits":
+            return logits
+        probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+        if output == "probs":
+            return probs
+        return (probs > threshold).astype(jnp.uint8)
+
+    if mesh is not None:
+        from unet_zoo_tpu.parallel import batch_sharding
+
+        sharding = batch_sharding(mesh)
+        inner = predict
+
+        def predict_sharded(images):
+            return inner(jax.device_put(images, sharding))
+
+        return predict_sharded
+    return predict

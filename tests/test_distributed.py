@@ -83,6 +83,38 @@ def test_fsdp_state_sharding_trains():
     assert not leaf2.sharding.is_fully_replicated
 
 
+def test_shard_map_train_step():
+    """Explicit-collective step runs and agrees with the jit-SPMD step on
+    forward metrics for a BN-free config... unet has BN, so compare the
+    loss loosely (per-shard vs global BN stats differ by design)."""
+    from unet_zoo_tpu.parallel.shard_map_step import make_train_step_shard_map
+
+    model = create_model("unet")
+    mesh = create_mesh()
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((8, 32, 32, 3)), learning_rate=1e-3)
+    state = replicate_state(mesh, state)
+    rng = np.random.default_rng(3)
+    imgs, masks = shard_batch(
+        mesh,
+        rng.standard_normal((8, 32, 32, 3)).astype(np.float32),
+        (rng.uniform(size=(8, 32, 32, 1)) > 0.5).astype(np.float32),
+    )
+    step = make_train_step_shard_map(model, mesh)
+    new_state, metrics = step(state, imgs, masks)
+    assert np.isfinite(float(metrics["loss"]))
+    assert 0.0 <= float(metrics["dice"]) <= 1.0
+    assert int(new_state.step) == 1
+
+    # jit-SPMD comparison: same order of magnitude (BN semantics differ)
+    jit_step = make_train_step(model)
+    state2 = create_train_state(model, jax.random.PRNGKey(0),
+                                jnp.zeros((8, 32, 32, 3)), learning_rate=1e-3)
+    state2 = replicate_state(mesh, state2)
+    _, m2 = jit_step(state2, imgs, masks)
+    assert abs(float(metrics["loss"]) - float(m2["loss"])) < 0.1
+
+
 def test_sharded_eval_step():
     model = create_model("unet")
     mesh = create_mesh()

@@ -73,12 +73,12 @@ def _epoch_mean(acc: List[jnp.ndarray]) -> float:
 def train_one_epoch(train_step, state: TrainState, dataloader, epoch: int,
                     model_name: str, writer, logger: Logger,
                     sharding=None) -> Tuple[TrainState, float, float]:
+    from unet_zoo_tpu.data.loader import prefetch_to_device
+
     losses, dices = [], []
     steps_per_epoch = len(dataloader)
-    for idx, (imgs, masks, _) in enumerate(dataloader):
-        if sharding is not None:
-            imgs = jax.device_put(imgs, sharding)
-            masks = jax.device_put(masks, sharding)
+    for idx, (imgs, masks, _) in enumerate(
+            prefetch_to_device(dataloader, size=2, sharding=sharding)):
         state, metrics = train_step(state, imgs, masks)
         losses.append(metrics["loss"])
         dices.append(metrics["dice"])

@@ -59,6 +59,153 @@ def test_convert_multiresunet():
                ("MultiResUnet", {"in_channels": 3, "num_classes": 1}))
 
 
+def test_convert_transatt_unet():
+    _roundtrip("transatt_unet", "transatt_unet",
+               ("TransAttUNet", {"in_channels": 3, "num_classes": 1}))
+
+
+def test_convert_unet_transformer():
+    _roundtrip("unet_transformer", "unet_transformer",
+               ("U_Transformer", {"in_channels": 3, "num_classes": 1}))
+
+
+def test_convert_vnet():
+    ref_mod = load_ref_module("vnet")
+    tmodel = ref_mod.VNet(in_channels=1, num_classes=1, elu=True)
+    tmodel.eval()
+    variables = convert_state_dict("vnet", tmodel.state_dict())
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+    model = create_model("vnet", in_channels=1)
+    x = np.random.default_rng(0).standard_normal(
+        (2, 32, 32, 1)).astype(np.float32)
+    got = np.asarray(model.apply(variables, jnp.asarray(x))["main"],
+                     np.float32)
+    ref = run_torch(tmodel, x)
+    np.testing.assert_allclose(got, ref, atol=2e-3, rtol=2e-3)
+
+
+@pytest.mark.parametrize("name,factory", [("gated", "gated"),
+                                          ("axialunet", "axialunet"),
+                                          ("medt", "MedT")])
+def test_convert_medt_family(name, factory):
+    ref_mod = load_ref_module("medt_net")
+    tmodel = getattr(ref_mod, factory)(img_size=64, num_classes=1,
+                                       in_channels=3)
+    tmodel.eval()
+    variables = convert_state_dict(name, tmodel.state_dict())
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+    model = create_model(name, image_size=64)
+    x = np.random.default_rng(0).standard_normal(
+        (2, 64, 64, 3)).astype(np.float32)
+    got = np.asarray(model.apply(variables, jnp.asarray(x))["main"],
+                     np.float32)
+    ref = run_torch(tmodel, x)
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-3)
+
+
+def test_convert_uctransnet():
+    ref_mod = load_ref_module("uctransnet")
+    config = ref_mod.get_uctransnet_config()
+    tmodel = ref_mod.UCTransNet(config, in_channels=3, num_classes=1,
+                                img_size=64)
+    tmodel.eval()
+    variables = convert_state_dict("uctransnet", tmodel.state_dict())
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+    model = create_model("uctransnet", image_size=64)
+    x = np.random.default_rng(0).standard_normal(
+        (2, 64, 64, 3)).astype(np.float32)
+    got = np.asarray(model.apply(variables, jnp.asarray(x))["main"],
+                     np.float32)
+    ref = run_torch(tmodel, x)
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-3)
+
+
+def test_convert_swin_unet_v2():
+    ref_mod = load_ref_module("swin_unet_v2")
+    tmodel = ref_mod.SwinTransformerSys(img_size=64, in_chans=3,
+                                        num_classes=1, window_size=8,
+                                        drop_path_rate=0.0)
+    tmodel.eval()
+    variables = convert_state_dict("swin_unet_v2", tmodel.state_dict())
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+    model = create_model("swin_unet_v2", image_size=64, window_size=8,
+                         drop_path_rate=0.0)
+    x = np.random.default_rng(0).standard_normal(
+        (2, 64, 64, 3)).astype(np.float32)
+    got = np.asarray(model.apply(variables, jnp.asarray(x))["main"],
+                     np.float32)
+    ref = run_torch(tmodel, x)
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-3)
+
+
+def test_convert_missformer():
+    ref_mod = load_ref_module("missformer")
+    tmodel = ref_mod.MISSFormer(num_classes=1, in_channels=3, image_size=64)
+    tmodel.eval()
+    variables = convert_state_dict("missformer", tmodel.state_dict())
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+    model = create_model("missformer", image_size=64)
+    x = np.random.default_rng(0).standard_normal(
+        (2, 64, 64, 3)).astype(np.float32)
+    got = np.asarray(model.apply(variables, jnp.asarray(x))["main"],
+                     np.float32)
+    ref = run_torch(tmodel, x)
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-3)
+
+
+def test_convert_unext_s():
+    ref_mod = load_ref_module("unext")
+    tmodel = ref_mod.UNext_S(input_channels=3, num_classes=1, img_size=64)
+    tmodel.eval()
+    variables = convert_state_dict("unext_s", tmodel.state_dict())
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+    model = create_model("unext_s", image_size=64)
+    x = np.random.default_rng(0).standard_normal(
+        (2, 64, 64, 3)).astype(np.float32)
+    got = np.asarray(model.apply(variables, jnp.asarray(x))["main"],
+                     np.float32)
+    ref = run_torch(tmodel, x)
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-3)
+
+
+def test_convert_mmunet():
+    ref_mod = load_ref_module("mmunet")
+    tmodel = ref_mod.MMUNet(in_channels=3, num_classes=1, base_channels=16)
+    tmodel.eval()
+    variables = convert_state_dict("mmunet", tmodel.state_dict())
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+    model = create_model("mmunet", base_channels=16)
+    x = np.random.default_rng(0).standard_normal(
+        (2, 64, 64, 3)).astype(np.float32)
+    got = np.asarray(model.apply(variables, jnp.asarray(x))["main"],
+                     np.float32)
+    ref = run_torch(tmodel, x)
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-3)
+
+
+def test_convert_da_transformer():
+    ref_mod = load_ref_module("da_transformer")
+    config = ref_mod.get_da_transformer_config()
+    tmodel = ref_mod.DA_Transformer(3, 1, config)
+    tmodel.eval()
+    variables = convert_state_dict("da_transformer", tmodel.state_dict())
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+    model = create_model("da_transformer")
+    x = np.random.default_rng(0).standard_normal(
+        (2, 64, 64, 3)).astype(np.float32)
+    got = np.asarray(model.apply(variables, jnp.asarray(x))["main"],
+                     np.float32)
+    import torch
+    import torch.nn.functional as F
+
+    ref512 = run_torch(tmodel, x)
+    ref = F.interpolate(
+        torch.from_numpy(np.transpose(ref512, (0, 3, 1, 2))),
+        size=(64, 64), mode="bilinear", align_corners=True,
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, ref, atol=5e-2, rtol=5e-2)
+
+
 def test_convert_strips_module_prefix_cli_logic():
     sd = {"module.out.conv.weight": np.zeros((1, 64, 1, 1), np.float32)}
     stripped = {k[7:] if k.startswith("module.") else k: v
@@ -68,4 +215,4 @@ def test_convert_strips_module_prefix_cli_logic():
 
 def test_convert_unknown_model():
     with pytest.raises(ValueError, match="No converter"):
-        convert_state_dict("swin_unet_v2", {})
+        convert_state_dict("raunet", {})

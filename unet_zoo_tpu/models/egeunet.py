@@ -28,7 +28,7 @@ def _ln(dt, name=None):
 
 
 def _gn(dt, name=None):
-    return nn.GroupNorm(num_groups=4, dtype=dt, name=name)
+    return nn.GroupNorm(num_groups=4, epsilon=1e-5, dtype=dt, name=name)
 
 
 def _resize_param(p: jnp.ndarray, size) -> jnp.ndarray:

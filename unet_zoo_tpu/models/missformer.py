@@ -38,7 +38,7 @@ class MixFFNSkip(nn.Module):
         c1 = x.shape[-1]
         h = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
         dw = DWConv(dtype=self.dtype)(h)
-        h = nn.gelu(nn.LayerNorm(dtype=self.dtype, name="norm1")(dw + h),
+        h = nn.gelu(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(dw + h),
                     approximate=False)
         return nn.Dense(c1, dtype=self.dtype, name="fc2")(h)
 
@@ -54,11 +54,11 @@ class MFBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         c = x.shape[-1]
-        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         h = SRAttention(self.head, self.reduction_ratio, qkv_bias=True,
                         dtype=self.dtype, name="attn")(h, train)
         x = x + h
-        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         h = MixFFNSkip(c * 4, dtype=self.dtype, name="mlp")(h)
         return x + h
 
@@ -84,7 +84,7 @@ class MiT(nn.Module):
             for i in range(self.layers[s]):
                 h = MFBlock(HEADS[s], REDUCTION_RATIOS[s], dtype=dt,
                             name=f"block{s + 1}_{i}")(h, train)
-            h = nn.LayerNorm(dtype=dt, name=f"norm{s + 1}")(h)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=dt, name=f"norm{s + 1}")(h)
             outs.append(h)
         return outs
 
@@ -120,7 +120,7 @@ class MultiScaleReduceAttention(nn.Module):
                 sl = nn.Conv(c, (rr, rr), strides=(rr, rr), dtype=dt,
                              name=f"sr{i}")(sl)
             reduced.append(sl.reshape(b, -1, c))
-        kv_in = nn.LayerNorm(dtype=dt, name="sr_norm")(
+        kv_in = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="sr_norm")(
             jnp.concatenate(reduced, axis=1))
 
         kv = nn.Dense(2 * c, dtype=dt, name="kv")(kv_in)
@@ -154,12 +154,12 @@ class BridgeLayer4(nn.Module):
         else:
             cat = inputs
 
-        h = nn.LayerNorm(dtype=dt, name="norm1")(cat)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="norm1")(cat)
         h = MultiScaleReduceAttention(self.head, REDUCTION_RATIOS,
                                       self.patch_resolutions, dtype=dt,
                                       name="attn")(h)
         tx1 = cat + h
-        tx = nn.LayerNorm(dtype=dt, name="norm2")(tx1)
+        tx = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="norm2")(tx1)
 
         sizes = [r[0] * r[1] for r in self.patch_resolutions]
         offsets = [0]
@@ -224,7 +224,7 @@ class PatchExpand(nn.Module):
         x = nn.Dense(self.dim * 4, use_bias=False, dtype=self.dtype,
                      name="expand")(x)
         x = _patch_expand_rearrange(x, 2, self.dim)
-        return nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
 
 
 class FinalPatchExpandX4(nn.Module):
@@ -238,7 +238,7 @@ class FinalPatchExpandX4(nn.Module):
         x = nn.Dense(self.dim * 16, use_bias=False, dtype=self.dtype,
                      name="expand")(x)
         x = _patch_expand_rearrange(x, 4, self.dim)
-        return nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
 
 
 class SegUDecoder(nn.Module):

@@ -32,7 +32,7 @@ class AAM(nn.Module):
         def squeeze_branch(z, name):
             z = global_avg_pool(z)  # [B,1,1,C]
             z = nn.Conv(self.out_ch, (1, 1), dtype=dt, name=f"{name}_conv")(z)
-            z = nn.LayerNorm(dtype=dt, name=f"{name}_ln")(z)
+            z = nn.LayerNorm(epsilon=1e-5, dtype=dt, name=f"{name}_ln")(z)
             return nn.relu(z)
 
         weight_high = squeeze_branch(input_high, "conv1")

@@ -205,7 +205,7 @@ class SwinBlockV2(nn.Module):
         if shift > 0:
             xs = jnp.roll(xs, (shift, shift), axis=(1, 2))
         h_out = xs.reshape(b, l, c)
-        h_out = nn.LayerNorm(dtype=dt, name="norm1")(h_out)  # res-post-norm
+        h_out = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="norm1")(h_out)  # res-post-norm
         x = shortcut + DropPath(self.drop_path)(h_out, train)
 
         if self.use_mlp:
@@ -214,7 +214,7 @@ class SwinBlockV2(nn.Module):
             m = nn.Dropout(self.drop, deterministic=not train)(m)
             m = nn.Dense(c, dtype=dt, name="mlp_fc2")(m)
             m = nn.Dropout(self.drop, deterministic=not train)(m)
-            m = nn.LayerNorm(dtype=dt, name="norm2")(m)
+            m = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="norm2")(m)
             x = x + DropPath(self.drop_path)(m, train)
         return x
 
@@ -235,7 +235,7 @@ class PatchMerging(nn.Module):
         x2 = xs[:, 0::2, 1::2]
         x3 = xs[:, 1::2, 1::2]
         xs = jnp.concatenate([x0, x1, x2, x3], axis=-1).reshape(b, -1, 4 * c)
-        xs = nn.LayerNorm(dtype=self.dtype, name="norm")(xs)
+        xs = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(xs)
         return nn.Dense(2 * c, use_bias=False, dtype=self.dtype,
                         name="reduction")(xs)
 
@@ -255,7 +255,7 @@ class PatchExpand(nn.Module):
         c = 2 * c_in
         x = x.reshape(b, h, w, 2, 2, c // 4)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * 2 * w * 2, c // 4)
-        return nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
 
 
 class FinalPatchExpandX4(nn.Module):
@@ -272,7 +272,7 @@ class FinalPatchExpandX4(nn.Module):
                      name="expand")(x)
         x = x.reshape(b, h, w, 4, 4, c_in)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * 4 * w * 4, c_in)
-        return nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
 
 
 class SwinUNetV2(nn.Module):
@@ -312,7 +312,7 @@ class SwinUNetV2(nn.Module):
         b = h.shape[0]
         h = h.reshape(b, pr * pr, self.embed_dim)
         if self.patch_norm:
-            h = nn.LayerNorm(dtype=dt, name="patch_norm")(h)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="patch_norm")(h)
         if self.ape:
             ape = self.param("absolute_pos_embed",
                              nn.initializers.truncated_normal(0.02),
@@ -345,7 +345,7 @@ class SwinUNetV2(nn.Module):
             if li < nl - 1:
                 h = PatchMerging((res, res), dtype=dt,
                                  name=f"layer{li}_downsample")(h)
-        h = nn.LayerNorm(dtype=dt, name="norm")(h)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="norm")(h)
 
         # decoder (ref :649-740)
         for ui in range(nl):
@@ -364,7 +364,7 @@ class SwinUNetV2(nn.Module):
                 if ui < nl - 1:
                     h = PatchExpand((res, res), dtype=dt,
                                     name=f"layer_up{ui}_upsample")(h)
-        h = nn.LayerNorm(dtype=dt, name="norm_up")(h)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="norm_up")(h)
 
         # final x4 expand + 1x1 head (ref :742-754)
         h = FinalPatchExpandX4((pr, pr), dtype=dt, name="up")(h)

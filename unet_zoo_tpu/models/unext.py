@@ -65,7 +65,7 @@ class UNext(nn.Module):
                     name=f"block{s + 1}_{i}",
                 )(h, train)
             cur += depths[s]
-            h = nn.LayerNorm(dtype=dt, name=f"norm{s + 1}")(h)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=dt, name=f"norm{s + 1}")(h)
             feats.append(h)
 
         x1, x2, x3 = feats

@@ -48,7 +48,7 @@ class OverlapPatchEmbed(nn.Module):
         x = nn.Conv(self.embed_dim, (self.patch_size, self.patch_size),
                     strides=(self.stride, self.stride),
                     padding=((p, p), (p, p)), dtype=self.dtype, name="proj")(x)
-        return nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
 
 
 class SRAttention(nn.Module):
@@ -78,7 +78,7 @@ class SRAttention(nn.Module):
             sr = self.sr_ratio
             kv_in = nn.Conv(c, (sr, sr), strides=(sr, sr), dtype=self.dtype,
                             name="sr")(x)
-            kv_in = nn.LayerNorm(dtype=self.dtype, name="sr_norm")(kv_in)
+            kv_in = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="sr_norm")(kv_in)
         else:
             kv_in = x
         n_kv = kv_in.shape[1] * kv_in.shape[2]
@@ -143,12 +143,12 @@ class MiTBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         c = x.shape[-1]
-        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         h = SRAttention(self.num_heads, self.sr_ratio, self.qkv_bias,
                         self.qk_scale, self.attn_drop, self.drop,
                         dtype=self.dtype, name="attn")(h, train)
         x = x + DropPath(self.drop_path)(h, train)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         h = DWConvMLP(int(c * self.mlp_ratio), drop=self.drop,
                       dtype=self.dtype, name="mlp")(h, train)
         return x + DropPath(self.drop_path)(h, train)

@@ -248,6 +248,513 @@ def convert_multiresunet(sd) -> Dict[str, Any]:
     return {"params": p, "batch_stats": s}
 
 
+def _double_convo(r: TorchReader, tprefix: str):
+    """DoubleConvMid params+stats (torch Sequential conv/bn at 0,1 and 3,4)."""
+    p, s = {}, {}
+    for i, name in enumerate(["ConvNormAct_0", "ConvNormAct_1"]):
+        bn_p, bn_s = r.bn(f"{tprefix}.{3 * i + 1}")
+        p[name] = {"Conv_0": r.conv(f"{tprefix}.{3 * i}"), "BatchNorm_0": bn_p}
+        s[name] = {"BatchNorm_0": bn_s}
+    return p, s
+
+
+def convert_transatt_unet(sd) -> Dict[str, Any]:
+    r = TorchReader(sd)
+    p, s = {}, {}
+    p["inc"], s["inc"] = _double_convo(r, "inc.double_conv")
+    for d in range(1, 5):
+        dp, ds = _double_convo(r, f"down{d}.maxpool_conv.1.double_conv")
+        p[f"down{d}"] = {"DoubleConvMid_0": dp}
+        s[f"down{d}"] = {"DoubleConvMid_0": ds}
+    p["pos"] = {"row_embed": r._get("pos.row_embed.weight"),
+                "col_embed": r._get("pos.col_embed.weight")}
+    p["pam"] = {"query_conv": r.conv("pam.query_conv"),
+                "key_conv": r.conv("pam.key_conv"),
+                "value_conv": r.conv("pam.value_conv"),
+                "gamma": r._get("pam.gamma")}
+    for u in range(1, 5):
+        up, us = _double_convo(r, f"up{u}.conv.double_conv")
+        p[f"up{u}"] = {"DoubleConvMid_0": up}
+        s[f"up{u}"] = {"DoubleConvMid_0": us}
+    p["outc"] = {"Conv_0": r.conv("outc.conv")}
+    return {"params": p, "batch_stats": s}
+
+
+def convert_unet_transformer(sd) -> Dict[str, Any]:
+    r = TorchReader(sd)
+    p, s = {}, {}
+    p["inc"], s["inc"] = _double_convo(r, "inc.conv_op")
+    for d in range(1, 4):
+        dp, ds = _double_convo(r, f"down{d}.maxpool_conv.1.double_conv")
+        p[f"down{d}"] = {"DoubleConvMid_0": dp}
+        s[f"down{d}"] = {"DoubleConvMid_0": ds}
+    # MultiHeadDense computes x @ W → kernel maps without transpose
+    p["MHSA"] = {n: {"kernel": r._get(f"MHSA.{n}.weight")}
+                 for n in ("query", "key", "value")}
+    for u in range(1, 4):
+        t = f"up{u}.MHCA"
+        sb_p, sb_s = r.bn(f"{t}.Sconv_process.2")
+        yb_p, yb_s = r.bn(f"{t}.Yconv_process.1")
+        ab_p, ab_s = r.bn(f"{t}.conv_after_attention.1")
+        y2_p, y2_s = r.bn(f"{t}.Yconv2_process.3")
+        up = {
+            "Sconv": r.conv(f"{t}.Sconv_process.1"), "Sbn": sb_p,
+            "Yconv": r.conv(f"{t}.Yconv_process.0"), "Ybn": yb_p,
+            "conv_after_attention": r.conv(f"{t}.conv_after_attention.0"),
+            "attn_bn": ab_p,
+            "Yconv2_3x3": r.conv(f"{t}.Yconv2_process.1"),
+            "Yconv2_1x1": r.conv(f"{t}.Yconv2_process.2"),
+            "Ybn2": y2_p,
+        }
+        for n in ("query", "key", "value"):
+            up[n] = {"kernel": r._get(f"{t}.{n}.weight")}
+        cb1_p, cb1_s = r.bn(f"up{u}.conv.1")
+        cb2_p, cb2_s = r.bn(f"up{u}.conv.4")
+        up["conv"] = {
+            "ConvNormAct_0": {"Conv_0": r.conv(f"up{u}.conv.0"),
+                              "BatchNorm_0": cb1_p},
+            "ConvNormAct_1": {"Conv_0": r.conv(f"up{u}.conv.3"),
+                              "BatchNorm_0": cb2_p},
+        }
+        p[f"up{u}"] = up
+        s[f"up{u}"] = {
+            "Sbn": sb_s, "Ybn": yb_s, "attn_bn": ab_s, "Ybn2": y2_s,
+            "conv": {"ConvNormAct_0": {"BatchNorm_0": cb1_s},
+                     "ConvNormAct_1": {"BatchNorm_0": cb2_s}},
+        }
+    p["outc"] = {"Conv_0": r.conv("outc.conv")}
+    return {"params": p, "batch_stats": s}
+
+
+def convert_vnet(sd) -> Dict[str, Any]:
+    r = TorchReader(sd)
+    p: Dict[str, Any] = {}
+
+    def cont_bn(tkey):
+        return {"scale": r._get(f"{tkey}.weight"),
+                "bias": r._get(f"{tkey}.bias")}
+
+    def use_stats(tkey):  # running stats exist but are never consumed
+        r.used.add(f"{tkey}.running_mean")
+        r.used.add(f"{tkey}.running_var")
+        r.used.add(f"{tkey}.num_batches_tracked")
+
+    p["in_conv"] = r.conv("in_tr.conv1")
+    p["in_bn"] = cont_bn("in_tr.bn1")
+    use_stats("in_tr.bn1")
+    for tname, fname, n in [("down_tr32", "down32", 1), ("down_tr64", "down64", 2),
+                            ("down_tr128", "down128", 3), ("down_tr256", "down256", 2)]:
+        p[f"{fname}_conv"] = r.conv(f"{tname}.down_conv")
+        p[f"{fname}_bn"] = cont_bn(f"{tname}.bn1")
+        use_stats(f"{tname}.bn1")
+        for i in range(n):
+            p[f"{fname}_lu{i}"] = {
+                "Conv_0": r.conv(f"{tname}.ops.{i}.conv1"),
+                "ContBatchNorm_0": cont_bn(f"{tname}.ops.{i}.bn1")}
+            use_stats(f"{tname}.ops.{i}.bn1")
+    for tname, fname, n in [("up_tr256", "up256", 2), ("up_tr128", "up128", 2),
+                            ("up_tr64", "up64", 1), ("up_tr32", "up32", 1)]:
+        w = np.transpose(r._get(f"{tname}.up_conv.weight"), (2, 3, 0, 1))
+        p[f"{fname}_up"] = {"ConvTranspose_0": {
+            "kernel": w[::-1, ::-1].copy(),
+            "bias": r._get(f"{tname}.up_conv.bias")}}
+        p[f"{fname}_bn"] = cont_bn(f"{tname}.bn1")
+        use_stats(f"{tname}.bn1")
+        for i in range(n):
+            p[f"{fname}_lu{i}"] = {
+                "Conv_0": r.conv(f"{tname}.ops.{i}.conv1"),
+                "ContBatchNorm_0": cont_bn(f"{tname}.ops.{i}.bn1")}
+            use_stats(f"{tname}.ops.{i}.bn1")
+    p["out_conv"] = r.conv("out_tr.conv1")
+    p["out_bn"] = cont_bn("out_tr.bn1")
+    use_stats("out_tr.bn1")
+    return {"params": p}
+
+
+def convert_medt_family(sd) -> Dict[str, Any]:
+    """axialunet / gated / medt / logo (shared layout; variant-specific
+    params like `relative` and the f_* gates are converted when present)."""
+    r = TorchReader(sd)
+    p, s = {}, {}
+
+    def axial(tkey):
+        ap, asx = {}, {}
+        k = r._get(f"{tkey}.qkv_transform.conv.weight")  # [out, in, 1]
+        ap["qkv"] = {"kernel": k[:, :, 0].T.copy()}
+        for bn_name in ("bn_qkv", "bn_similarity", "bn_output"):
+            bp, bs = r.bn(f"{tkey}.{bn_name}")
+            ap[bn_name], asx[bn_name] = bp, bs
+        if f"{tkey}.relative" in r.sd:
+            ap["relative"] = r._get(f"{tkey}.relative")
+        for g in ("f_qr", "f_kr", "f_sv", "f_sve"):
+            if f"{tkey}.{g}" in r.sd:
+                ap[g] = np.asarray(r._get(f"{tkey}.{g}"))
+        return ap, asx
+
+    for c in (1, 2, 3):
+        p[f"conv{c}"] = r.conv(f"conv{c}", bias=False)
+        p[f"bn{c}"], s[f"bn{c}"] = r.bn(f"bn{c}")
+    for li, blocks in enumerate((1, 2, 4, 1)):
+        for bi in range(blocks):
+            t = f"layer{li + 1}.{bi}"
+            bp, bs = {}, {}
+            bp["conv_down"] = r.conv(f"{t}.conv_down", bias=False)
+            bp["bn1"], bs["bn1"] = r.bn(f"{t}.bn1")
+            bp["hight_block"], bs["hight_block"] = axial(f"{t}.hight_block")
+            bp["width_block"], bs["width_block"] = axial(f"{t}.width_block")
+            bp["conv_up"] = r.conv(f"{t}.conv_up", bias=False)
+            bp["bn2"], bs["bn2"] = r.bn(f"{t}.bn2")
+            if f"{t}.downsample.0.weight" in r.sd:
+                bp["downsample_conv"] = r.conv(f"{t}.downsample.0", bias=False)
+                bp["downsample_bn"], bs["downsample_bn"] = r.bn(
+                    f"{t}.downsample.1")
+            p[f"layer{li + 1}_{bi}"], s[f"layer{li + 1}_{bi}"] = bp, bs
+    for d in (1, 2, 3, 4):
+        p[f"decoder{d}"] = r.conv(f"decoder{d}")
+    p["final_conv"] = r.conv("final_conv")
+    return {"params": p, "batch_stats": s}
+
+
+def convert_uctransnet(sd, num_heads: int = 4) -> Dict[str, Any]:
+    r = TorchReader(sd)
+    p, s = {}, {}
+
+    def cbn(tprefix):
+        bn_p, bn_s = r.bn(f"{tprefix}.norm")
+        return ({"Conv_0": r.conv(f"{tprefix}.conv"), "BatchNorm_0": bn_p},
+                {"BatchNorm_0": bn_s})
+
+    p["inc"], s["inc"] = cbn("inc")
+    for d in range(1, 5):
+        for c in range(2):
+            p[f"down{d}_conv{c}"], s[f"down{d}_conv{c}"] = cbn(
+                f"down{d}.nConvs.{c}")
+
+    mtc_p, mtc_s = {}, {}
+    for e in range(1, 5):
+        mtc_p[f"embeddings_{e}"] = {
+            "patch_embeddings": r.conv(f"mtc.embeddings_{e}.patch_embeddings"),
+            "position_embeddings": r._get(
+                f"mtc.embeddings_{e}.position_embeddings"),
+        }
+    for li in range(4):
+        t = f"mtc.encoder.layer.{li}"
+        lp: Dict[str, Any] = {}
+        for i in range(1, 5):
+            lp[f"attn_norm{i}"] = {"scale": r._get(f"{t}.attn_norm{i}.weight"),
+                                   "bias": r._get(f"{t}.attn_norm{i}.bias")}
+            lp[f"ffn_norm{i}"] = {"scale": r._get(f"{t}.ffn_norm{i}.weight"),
+                                  "bias": r._get(f"{t}.ffn_norm{i}.bias")}
+            lp[f"ffn{i}_fc1"] = r.dense(f"{t}.ffn{i}.fc1")
+            lp[f"ffn{i}_fc2"] = r.dense(f"{t}.ffn{i}.fc2")
+        lp["attn_norm"] = {"scale": r._get(f"{t}.attn_norm.weight"),
+                           "bias": r._get(f"{t}.attn_norm.bias")}
+        ca: Dict[str, Any] = {}
+        for qi in range(1, 5):
+            ws = [r._get(f"{t}.channel_attn.query{qi}.{h}.weight").T
+                  for h in range(num_heads)]
+            ca[f"query{qi}"] = np.stack(ws)
+            ca[f"out{qi}"] = r.dense(f"{t}.channel_attn.out{qi}")
+        for name in ("key", "value"):
+            ws = [r._get(f"{t}.channel_attn.{name}.{h}.weight").T
+                  for h in range(num_heads)]
+            ca[name] = np.stack(ws)
+        lp["channel_attn"] = ca
+        mtc_p[f"layer_{li}"] = lp
+    for e in range(1, 5):
+        mtc_p[f"encoder_norm{e}"] = {
+            "scale": r._get(f"mtc.encoder.encoder_norm{e}.weight"),
+            "bias": r._get(f"mtc.encoder.encoder_norm{e}.bias")}
+        bn_p, bn_s = r.bn(f"mtc.reconstruct_{e}.norm")
+        mtc_p[f"reconstruct_{e}_conv"] = r.conv(f"mtc.reconstruct_{e}.conv")
+        mtc_p[f"reconstruct_{e}_bn"] = bn_p
+        mtc_s[f"reconstruct_{e}_bn"] = bn_s
+    p["mtc"], s["mtc"] = mtc_p, mtc_s
+
+    for u in range(1, 5):
+        p[f"up{u}_coatt"] = {"mlp_x": r.dense(f"up{u}.coatt.mlp_x.1"),
+                             "mlp_g": r.dense(f"up{u}.coatt.mlp_g.1")}
+        for c in range(2):
+            p[f"up{u}_conv{c}"], s[f"up{u}_conv{c}"] = cbn(f"up{u}.nConvs.{c}")
+    p["outc"] = r.conv("outc")
+    return {"params": p, "batch_stats": s}
+
+
+def _ln(r: TorchReader, tkey: str):
+    return {"scale": r._get(f"{tkey}.weight"), "bias": r._get(f"{tkey}.bias")}
+
+
+def convert_swin_unet_v2(sd) -> Dict[str, Any]:
+    r = TorchReader(sd)
+    p: Dict[str, Any] = {}
+    keys = set(r.sd)
+    n_layers = max(int(k.split(".")[1]) for k in keys
+                   if k.startswith("layers.")) + 1
+    depths = tuple(
+        max(int(k.split(".")[3]) for k in keys
+            if k.startswith(f"layers.{l}.blocks.")) + 1
+        for l in range(n_layers))
+
+    def block(tprefix):
+        bp = {"attn": {
+            "qkv": r.dense(f"{tprefix}.attn.qkv"),
+            "proj": r.dense(f"{tprefix}.attn.proj"),
+            "cpb_fc1": r.dense(f"{tprefix}.attn.cpb.fc1"),
+            "cpb_fc2": r.dense(f"{tprefix}.attn.cpb.fc2"),
+            "tau": r._get(f"{tprefix}.attn.tau"),
+        }, "norm1": _ln(r, f"{tprefix}.norm1")}
+        # the reference never applies norm2/mlp in forward (quirk);
+        # they are not converted (our default model has no such params)
+        return bp
+
+    p["patch_embed"] = r.conv("patch_embed.proj")
+    p["patch_norm"] = _ln(r, "patch_embed.norm")
+    nl = len(depths)
+    for l in range(nl):
+        for i in range(depths[l]):
+            p[f"layer{l}_blk{i}"] = block(f"layers.{l}.blocks.{i}")
+        if l < nl - 1:
+            p[f"layer{l}_downsample"] = {
+                "norm": _ln(r, f"layers.{l}.downsample.norm"),
+                "reduction": r.dense(f"layers.{l}.downsample.reduction",
+                                     bias=False)}
+    p["layer_up0"] = {"expand": r.dense("layers_up.0.expand", bias=False),
+                      "norm": _ln(r, "layers_up.0.norm")}
+    for u in range(1, nl):
+        for i in range(depths[nl - 1 - u]):
+            p[f"layer_up{u}_blk{i}"] = block(f"layers_up.{u}.blocks.{i}")
+        if u < nl - 1:
+            p[f"layer_up{u}_upsample"] = {
+                "expand": r.dense(f"layers_up.{u}.upsample.expand", bias=False),
+                "norm": _ln(r, f"layers_up.{u}.upsample.norm")}
+        p[f"concat_back_dim{u}"] = r.dense(f"concat_back_dim.{u}")
+    p["norm"] = _ln(r, "norm")
+    p["norm_up"] = _ln(r, "norm_up")
+    p["up"] = {"expand": r.dense("up.expand", bias=False),
+               "norm": _ln(r, "up.norm")}
+    p["output"] = r.conv("output", bias=False)
+    return {"params": p}
+
+
+def convert_missformer(sd) -> Dict[str, Any]:
+    r = TorchReader(sd)
+    p: Dict[str, Any] = {}
+    sr_ratios = (8, 4, 2, 1)
+
+    def mixffn(tprefix):
+        return {"fc1": r.dense(f"{tprefix}.fc1"),
+                "DWConv_0": {"dwconv": r.conv(f"{tprefix}.dwconv.dwconv")},
+                "fc2": r.dense(f"{tprefix}.fc2"),
+                "norm1": _ln(r, f"{tprefix}.norm1")}
+
+    def sr_attn(tprefix, has_sr):
+        ap = {"q": r.dense(f"{tprefix}.q"), "kv": r.dense(f"{tprefix}.kv"),
+              "proj": r.dense(f"{tprefix}.proj")}
+        if has_sr:
+            ap["sr"] = r.conv(f"{tprefix}.sr")
+            ap["sr_norm"] = _ln(r, f"{tprefix}.norm")
+        return ap
+
+    def tblock(tprefix, has_sr):
+        return {"norm1": _ln(r, f"{tprefix}.norm1"),
+                "attn": sr_attn(f"{tprefix}.attn", has_sr),
+                "norm2": _ln(r, f"{tprefix}.norm2"),
+                "mlp": mixffn(f"{tprefix}.mlp")}
+
+    bb: Dict[str, Any] = {}
+    for s_ in range(4):
+        bb[f"patch_embed{s_ + 1}"] = {
+            "proj": r.conv(f"backbone.patch_embed{s_ + 1}.proj"),
+            "norm": _ln(r, f"backbone.patch_embed{s_ + 1}.norm")}
+        for i in range(2):
+            bb[f"block{s_ + 1}_{i}"] = tblock(
+                f"backbone.block{s_ + 1}.{i}", sr_ratios[s_] > 1)
+        bb[f"norm{s_ + 1}"] = _ln(r, f"backbone.norm{s_ + 1}")
+    p["backbone"] = bb
+
+    br: Dict[str, Any] = {}
+    for li in range(1, 5):
+        t = f"bridge.bridge_layer{li}"
+        fl: Dict[str, Any] = {"norm1": _ln(r, f"{t}.norm1"),
+                              "norm2": _ln(r, f"{t}.norm2")}
+        if li == 1:
+            for c in range(1, 5):
+                fl[f"proj_c{c}"] = r.dense(f"{t}.proj_c{c}")
+        attn = {"q": r.dense(f"{t}.attn.q"), "kv": r.dense(f"{t}.attn.kv"),
+                "proj": r.dense(f"{t}.attn.proj"),
+                "sr_norm": _ln(r, f"{t}.attn.scale_reduce.norm")}
+        for i, rr in enumerate(sr_ratios):
+            if rr > 1:
+                attn[f"sr{i}"] = r.conv(f"{t}.attn.scale_reduce.sr_convs.{i}")
+        fl["attn"] = attn
+        for m in range(1, 5):
+            fl[f"mixffn{m}"] = mixffn(f"{t}.mixffn{m}")
+        br[f"bridge_layer{li}"] = fl
+    for c in range(1, 5):
+        br[f"proj_back_c{c}"] = r.dense(f"bridge.proj_back_c{c}")
+    p["bridge"] = br
+
+    for name, rr, has_concat in [("decoder_3", 1, False),
+                                 ("decoder_2", 2, True),
+                                 ("decoder_1", 4, True),
+                                 ("decoder_0", 8, True)]:
+        dp: Dict[str, Any] = {}
+        if has_concat:
+            dp["concat_linear"] = r.dense(f"{name}.concat_linear")
+        dp["layer_former_1"] = tblock(f"{name}.layer_former_1", rr > 1)
+        dp["layer_former_2"] = tblock(f"{name}.layer_former_2", rr > 1)
+        dp["layer_up"] = {"expand": r.dense(f"{name}.layer_up.expand",
+                                            bias=False),
+                          "norm": _ln(r, f"{name}.layer_up.norm")}
+        if name == "decoder_0":
+            dp["last_layer"] = r.conv(f"{name}.last_layer")
+        p[name] = dp
+    return {"params": p}
+
+
+def convert_unext(sd) -> Dict[str, Any]:
+    """Handles both unext and unext_s: stage depths and sr-presence are
+    inferred from the state_dict keys."""
+    r = TorchReader(sd)
+    p: Dict[str, Any] = {}
+    keys = set(r.sd)
+    depths = [max(int(k.split(".")[1]) for k in keys
+                  if k.startswith(f"block{s_ + 1}.")) + 1 for s_ in range(3)]
+    sr_ratios = [2 if f"block{s_ + 1}.0.attn.sr.weight" in keys else 1
+                 for s_ in range(3)]
+    for s_ in range(3):
+        p[f"patch_embed{s_ + 1}"] = {
+            "proj": r.conv(f"patch_embed{s_ + 1}.proj"),
+            "norm": _ln(r, f"patch_embed{s_ + 1}.norm")}
+        for i in range(depths[s_]):
+            t = f"block{s_ + 1}.{i}"
+            attn = {"q": r.dense(f"{t}.attn.q", bias=False),
+                    "kv": r.dense(f"{t}.attn.kv", bias=False),
+                    "proj": r.dense(f"{t}.attn.proj")}
+            if sr_ratios[s_] > 1:
+                attn["sr"] = r.conv(f"{t}.attn.sr")
+                attn["sr_norm"] = _ln(r, f"{t}.attn.norm")
+            p[f"block{s_ + 1}_{i}"] = {
+                "norm1": _ln(r, f"{t}.norm1"),
+                "norm2": _ln(r, f"{t}.norm2"),
+                "attn": attn,
+                "mlp": {"fc1": r.dense(f"{t}.mlp.fc1"),
+                        "DWConv_0": {"dwconv": r.conv(f"{t}.mlp.dwconv.dwconv")},
+                        "fc2": r.dense(f"{t}.mlp.fc2")},
+            }
+        p[f"norm{s_ + 1}"] = _ln(r, f"norm{s_ + 1}")
+    for d in (1, 2, 3):
+        p[f"decoder_level{d}"] = r.conv(f"decoder_level{d}")
+    p["final_conv"] = r.conv("final_conv")
+    return {"params": p}
+
+
+def convert_mmunet(sd) -> Dict[str, Any]:
+    r = TorchReader(sd)
+    p, s = {}, {}
+
+    def block(tprefix, ext):
+        bp, bs = {}, {}
+        for i in (1, 2, 3):
+            bp[f"dwconv{i}"] = r.conv(f"{tprefix}.dwconv{i}")
+            bp[f"norm{i}"], bs[f"norm{i}"] = r.bn(f"{tprefix}.norm{i}")
+        bp["norm4"], bs["norm4"] = r.bn(f"{tprefix}.norm4")
+        bp["pwconv1"] = r.dense(f"{tprefix}.pwconv1")
+        bp["pwconv2"] = r.dense(f"{tprefix}.pwconv2")
+        if ext:
+            bp["norm_ea"], bs["norm_ea"] = r.bn(f"{tprefix}.norm_ea")
+            bp["conv1"] = r.conv(f"{tprefix}.conv1")
+            bp["linear_0"] = {
+                "kernel": r._get(f"{tprefix}.linear_0.weight")[:, :, 0].T.copy()}
+            bp["linear_1"] = {
+                "kernel": r._get(f"{tprefix}.linear_1.weight")[:, :, 0].T.copy()}
+            bp["conv2"] = r.conv(f"{tprefix}.conv2.0", bias=False)
+            bp["conv2_bn"], bs["conv2_bn"] = r.bn(f"{tprefix}.conv2.1")
+        return bp, bs
+
+    stage_specs = [("first_down", "first_down", False),
+                   ("down0", "down0", False), ("down0_1", "down0_1", False),
+                   ("down1", "down1", False), ("down2", "down2", True),
+                   ("down3", "down3", True)]
+    for tname, fname, ext in stage_specs:
+        p[f"{fname}_conv"] = r.conv(f"{tname}.0")
+        p[f"{fname}_bn1"], s[f"{fname}_bn1"] = r.bn(f"{tname}.1")
+        p[f"{fname}_blk1"], s[f"{fname}_blk1"] = block(f"{tname}.2", ext)
+        p[f"{fname}_bn2"], s[f"{fname}_bn2"] = r.bn(f"{tname}.3")
+        p[f"{fname}_blk2"], s[f"{fname}_blk2"] = block(f"{tname}.4", ext)
+    for u, (ext, has_mlp) in zip((1, 2, 3, 4),
+                                 [(True, True), (True, True),
+                                  (False, False), (False, False)]):
+        up, us = {}, {}
+        if has_mlp:
+            up["mlp_fc1"] = r.conv(f"up{u}.mlp.fc1")
+            up["mlp_fc2"] = r.conv(f"up{u}.mlp.fc2")
+        up["linear1"] = r.conv(f"up{u}.linear1")
+        up["fuse_conv"] = r.conv(f"up{u}.conv.0")
+        up["fuse_bn"], us["fuse_bn"] = r.bn(f"up{u}.conv.1")
+        up["blk1"], us["blk1"] = block(f"up{u}.conv.2", ext)
+        up["blk2"], us["blk2"] = block(f"up{u}.conv.3", ext)
+        p[f"up{u}"], s[f"up{u}"] = up, us
+    p["up5_blk1"], s["up5_blk1"] = block("up5.conv.0", False)
+    p["up5_blk2"], s["up5_blk2"] = block("up5.conv.1", False)
+    p["efm_conv"] = r.conv("eam.up_x2.1", bias=False)
+    p["efm_bn"], s["efm_bn"] = r.bn("eam.up_x2.2")
+    p["efm_linear1"] = r.conv("eam.linear1")
+    p["out_conv"] = r.conv("out_conv.0")
+    return {"params": p, "batch_stats": s}
+
+
+def convert_da_transformer(sd) -> Dict[str, Any]:
+    r = TorchReader(sd)
+    p, s = {}, {}
+    keys = set(r.sd)
+    block_units = tuple(
+        max(int(k.split(".")[3][4:]) for k in keys
+            if k.startswith(f"resnet.body.block{b}.unit"))
+        for b in (1, 2, 3))
+
+    def std_conv(tkey):
+        return {"kernel": np.transpose(r._get(f"{tkey}.weight"), (2, 3, 1, 0))}
+
+    rn: Dict[str, Any] = {"root_conv": std_conv("resnet.root.conv"),
+                          "root_gn": _ln(r, "resnet.root.gn")}
+    for b, units in zip((1, 2, 3), block_units):
+        for u in range(1, units + 1):
+            t = f"resnet.body.block{b}.unit{u}"
+            f: Dict[str, Any] = {}
+            for c in (1, 2, 3):
+                f[f"conv{c}"] = std_conv(f"{t}.conv{c}")
+                f[f"gn{c}"] = _ln(r, f"{t}.gn{c}")
+            if f"{t}.downsample.weight" in r.sd:
+                f["downsample"] = std_conv(f"{t}.downsample")
+                f["gn_proj"] = _ln(r, f"{t}.gn_proj")
+            rn[f"block{b}_unit{u}"] = f
+    p["resnet"] = rn
+
+    bp, bs = _double_conv(r, "bottleneck.conv_op")
+    p["bottleneck"], s["bottleneck"] = bp, bs
+    for u in range(1, 5):
+        w = np.transpose(r._get(f"up_block{u}.up.weight"), (2, 3, 0, 1))
+        cp, cs = _double_conv(r, f"up_block{u}.conv.conv_op")
+        p[f"up_block{u}"] = {
+            "up": {"kernel": w[::-1, ::-1].copy(),
+                   "bias": r._get(f"up_block{u}.up.bias")},
+            "skip_conv": r.conv(f"up_block{u}.skip_conv"),
+            "conv": cp,
+        }
+        s[f"up_block{u}"] = {"conv": cs}
+    for pa in (1, 2, 3):
+        p[f"pam{pa}"] = {"query_conv": r.conv(f"pam{pa}.query_conv"),
+                         "key_conv": r.conv(f"pam{pa}.key_conv"),
+                         "value_conv": r.conv(f"pam{pa}.value_conv"),
+                         "gamma": r._get(f"pam{pa}.gamma")}
+        p[f"cam{pa}"] = {"gamma": r._get(f"cam{pa}.gamma")}
+    p["up_block5_conv"] = r.conv("up_block5.1")
+    p["up_block6_conv"] = r.conv("up_block6.1")
+    p["outc"] = r.conv("outc")
+    return {"params": p, "batch_stats": s}
+
+
 CONVERTERS = {
     "unet": convert_unet,
     "attention_unet": convert_attention_unet,
@@ -256,6 +763,20 @@ CONVERTERS = {
     "u2netp": convert_u2net,
     "resunet": convert_resunet,
     "multiresunet": convert_multiresunet,
+    "transatt_unet": convert_transatt_unet,
+    "unet_transformer": convert_unet_transformer,
+    "vnet": convert_vnet,
+    "axialunet": convert_medt_family,
+    "gated": convert_medt_family,
+    "medt": convert_medt_family,
+    "logo": convert_medt_family,
+    "uctransnet": convert_uctransnet,
+    "swin_unet_v2": convert_swin_unet_v2,
+    "missformer": convert_missformer,
+    "unext": convert_unext,
+    "unext_s": convert_unext,
+    "mmunet": convert_mmunet,
+    "da_transformer": convert_da_transformer,
 }
 
 

@@ -44,9 +44,53 @@ def model_flops(model, image_size: int = 256, batch: int = 1,
 
 @contextlib.contextmanager
 def trace(log_dir: str):
-    """jax.profiler trace context (view with TensorBoard/XProf)."""
+    """jax.profiler trace context (view with TensorBoard/XProf).
+    Works on this image's tunneled TPU backend."""
     jax.profiler.start_trace(log_dir)
     try:
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def summarize_trace(log_dir: str, top_k: int = 15):
+    """Parse the newest trace under ``log_dir`` and return the top device
+    ops by total duration: list of (name, total_ms, pct, hlo_category).
+
+    Complements ``trace()`` for environments without TensorBoard — e.g.::
+
+        with trace("/tmp/prof"):
+            predict(x)
+        for name, ms, pct, cat in summarize_trace("/tmp/prof"):
+            print(f"{ms:8.2f}ms {pct:5.1f}%  [{cat}] {name}")
+    """
+    import collections
+    import glob
+    import gzip
+    import json
+    import os
+
+    paths = sorted(glob.glob(
+        os.path.join(log_dir, "plugins", "profile", "*", "*.trace.json.gz")))
+    if not paths:
+        raise FileNotFoundError(f"no trace.json.gz under {log_dir}")
+    with gzip.open(paths[-1]) as f:
+        tr = json.load(f)
+    device_pids = {
+        e["pid"] for e in tr.get("traceEvents", [])
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+        and "TPU" in e.get("args", {}).get("name", "")
+    }
+    durs = collections.Counter()
+    cats = {}
+    for e in tr.get("traceEvents", []):
+        if (e.get("ph") == "X" and e.get("dur")
+                and (not device_pids or e.get("pid") in device_pids)):
+            name = e["name"]
+            if name.startswith("jit_"):  # whole-program envelope, skip
+                continue
+            durs[name] += e["dur"]
+            cats.setdefault(name, e.get("args", {}).get("hlo_category", ""))
+    total = sum(durs.values()) or 1
+    return [(name, d / 1e3, 100.0 * d / total, cats.get(name, ""))
+            for name, d in durs.most_common(top_k)]

@@ -2,10 +2,12 @@
 framework's variables, so users migrating from `unet_zoo` keep their
 trained weights.
 
-Supported models: unet, attention_unet, nested_unet, u2net, u2netp,
-resunet, multiresunet. (The flax→torch direction of the same mappings is
-exercised by tests/test_parity*.py; conversion here is the inverse, and
-tests/test_convert.py round-trips logits through both frameworks.)
+Supported: 22 of the 24 registry names — every model the reference can
+produce a checkpoint for (egeunet's reference crashes on construction,
+quirk Q2, so no checkpoints of it exist; 'logo' uses the 'gated'
+converter layout). Verified by torch-random-init round-trip logit tests
+(20 models, tests/test_convert.py) and structural inverse tests for
+raunet/wranet (whose reference needs torchvision to run).
 
 CLI::
 
@@ -755,6 +757,119 @@ def convert_da_transformer(sd) -> Dict[str, Any]:
     return {"params": p, "batch_stats": s}
 
 
+def convert_raunet(sd) -> Dict[str, Any]:
+    """raunet .pth → flax. The reference cannot even be *instantiated* in
+    this image (needs torchvision for the resnet34 encoder), but trained
+    checkpoints carry the standard torchvision resnet34 key layout
+    (firstconv/firstbn/encoder{1-4} per ref raunet.py:86-93), which is
+    converted here; verified structurally against the flax tree."""
+    r = TorchReader(sd)
+    p, s = {}, {}
+
+    enc_p: Dict[str, Any] = {"conv1": {"kernel": np.transpose(
+        r._get("firstconv.weight"), (2, 3, 1, 0))}}
+    enc_s: Dict[str, Any] = {}
+    enc_p["bn1"], enc_s["bn1"] = r.bn("firstbn")
+    for li, blocks in enumerate((3, 4, 6, 3)):
+        for bi in range(blocks):
+            t = f"encoder{li + 1}.{bi}"
+            f: Dict[str, Any] = {
+                "Conv_0": r.conv(f"{t}.conv1", bias=False),
+                "Conv_1": r.conv(f"{t}.conv2", bias=False),
+            }
+            fs: Dict[str, Any] = {}
+            f["BatchNorm_0"], fs["BatchNorm_0"] = r.bn(f"{t}.bn1")
+            f["BatchNorm_1"], fs["BatchNorm_1"] = r.bn(f"{t}.bn2")
+            if f"{t}.downsample.0.weight" in r.sd:
+                f["downsample_conv"] = r.conv(f"{t}.downsample.0", bias=False)
+                f["downsample_bn"], fs["downsample_bn"] = r.bn(
+                    f"{t}.downsample.1")
+            enc_p[f"layer{li + 1}_{bi}"] = f
+            enc_s[f"layer{li + 1}_{bi}"] = fs
+    p["encoder"], s["encoder"] = enc_p, enc_s
+
+    for d, tname in [(4, "decoder4"), (3, "decoder3"), (2, "decoder2"),
+                     (1, "decoder1")]:
+        f, fs = {}, {}
+        f["conv1"] = r.conv(f"{tname}.conv1")
+        f["norm1"], fs["norm1"] = r.bn(f"{tname}.norm1")
+        f["deconv2"] = r.conv_transpose(f"{tname}.deconv2")
+        f["norm2"], fs["norm2"] = r.bn(f"{tname}.norm2")
+        f["conv3"] = r.conv(f"{tname}.conv3")
+        f["norm3"], fs["norm3"] = r.bn(f"{tname}.norm3")
+        p[tname], s[tname] = f, fs
+    for g in (3, 2, 1):
+        t = f"gau{g}"
+        p[t] = {
+            "conv1_conv": r.conv(f"{t}.conv1.0"),
+            "conv1_ln": _ln(r, f"{t}.conv1.1"),
+            "conv2_conv": r.conv(f"{t}.conv2.0"),
+            "conv2_ln": _ln(r, f"{t}.conv2.1"),
+            "conv3": r.conv(f"{t}.conv3.0"),
+            "conv4": r.conv(f"{t}.conv4.0"),
+        }
+    p["finaldeconv1"] = r.conv_transpose("finaldeconv1")
+    p["finalconv2"] = r.conv("finalconv2")
+    p["finalconv3"] = r.conv("finalconv3")
+    return {"params": p, "batch_stats": s}
+
+
+def convert_wranet(sd) -> Dict[str, Any]:
+    """wranet .pth → flax (reference needs torchvision's deform_conv2d to
+    run, but the state_dict layout follows ref wranet.py and is converted
+    here; verified structurally against the flax tree)."""
+    r = TorchReader(sd)
+    p, s = {}, {}
+    p["stem1"] = r.conv("convblock_1.0")
+    p["stem2"] = r.conv("convblock_1.1")
+
+    for e in (1, 2, 3):
+        t = f"encoder_block_{e}"
+        wp: Dict[str, Any] = {}
+        for si, nb in enumerate((1, 2, 3, 4)):
+            for bi in range(nb):
+                wp[f"stream{si}_b{bi}"] = {
+                    "dw": r.conv(f"{t}.lite_wragb.streams.{si}.{bi}.dw_conv",
+                                 bias=False),
+                    "pw": r.conv(f"{t}.lite_wragb.streams.{si}.{bi}.conv_1x1",
+                                 bias=False),
+                }
+        wp["project"] = {"Conv_0": r.conv(f"{t}.lite_wragb.project.0",
+                                          bias=False)}
+        wp["ag0"] = r.conv(f"{t}.lite_wragb.ag.0")
+        wp["ag1"] = r.conv(f"{t}.lite_wragb.ag.2")
+        alpha = r._get(f"{t}.lite_wragb.alpha")  # [1, C, 1, 1]
+        wp["alpha"] = np.transpose(alpha, (0, 2, 3, 1))
+        p[f"enc{e}_wrarb"] = wp
+        p[f"enc{e}_conv"] = {"Conv_0": r.conv(f"{t}.conv_3x3.0")}
+    p["down1"] = r.conv("down1", bias=False)
+    p["down2"] = r.conv("down2", bias=False)
+
+    for lv in (2, 1):
+        t = f"decoder_lv{lv}"
+        dp, ds = {}, {}
+        dp["ps_conv"] = r.conv(f"{t}.pixelshuffle_block.0", bias=False)
+        bn_p, bn_s = r.bn(f"{t}.conv_3x3_last.1")
+        dp["conv_3x3_last"] = {"Conv_0": r.conv(f"{t}.conv_3x3_last.0"),
+                               "BatchNorm_0": bn_p}
+        ds["conv_3x3_last"] = {"BatchNorm_0": bn_s}
+        deform = {
+            "offset_conv": r.conv(f"{t}.rdb.convs.0.offset_conv"),
+            "modulator_conv": r.conv(f"{t}.rdb.convs.0.modulator_conv"),
+            "weight": np.transpose(
+                r._get(f"{t}.rdb.convs.0.conv.weight"), (2, 3, 1, 0)),
+        }
+        if f"{t}.rdb.convs.0.conv.bias" in r.sd:
+            deform["bias"] = r._get(f"{t}.rdb.convs.0.conv.bias")
+        dp["rdb"] = {"deform": deform,
+                     "last_conv": r.conv(f"{t}.rdb.last_conv")}
+        p[t], s[t] = dp, ds
+    p["last1"] = r.conv("last_conv.0")
+    p["last2"] = r.conv("last_conv.1")
+    p["last3"] = r.conv("last_conv.2")
+    return {"params": p, "batch_stats": s}
+
+
 CONVERTERS = {
     "unet": convert_unet,
     "attention_unet": convert_attention_unet,
@@ -777,6 +892,8 @@ CONVERTERS = {
     "unext_s": convert_unext,
     "mmunet": convert_mmunet,
     "da_transformer": convert_da_transformer,
+    "raunet": convert_raunet,
+    "wranet": convert_wranet,
 }
 
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Any, Dict
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from unet_zoo_tpu.nn import BatchNorm
@@ -19,6 +20,39 @@ from unet_zoo_tpu.ops import max_pool2d, pad_to_match, resize_bilinear
 
 def _gelu(x):
     return nn.gelu(x, approximate=False)
+
+
+class GroupedConv2in(nn.Module):
+    """3x3 grouped conv with 2 input channels per group (EFM's
+    Conv(2C→C, groups=C), ref mmunet.py:275).
+
+    XLA lowers in_per_group=2 grouped convs through a degenerate
+    [.,.,.,C,2] layout (profiled at 26ms + 27ms of layout copies for one
+    call at 256px); expressing it as two pure depthwise convs over the
+    interleaved channel halves is exact and ~50x cheaper. The parameter
+    keeps flax's grouped-conv kernel layout [kh, kw, 2, C] so checkpoints
+    and the torch converter are unaffected.
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        f = self.features
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, 2, f), jnp.float32).astype(self.dtype)
+        out = None
+        for i in range(2):
+            xi = x[..., i::2]  # i-th channel of each group (torch layout)
+            ki = kernel[:, :, i:i + 1, :]  # [3,3,1,f] pure depthwise
+            yi = jax.lax.conv_general_dilated(
+                xi.astype(self.dtype), ki,
+                window_strides=(1, 1), padding=((1, 1), (1, 1)),
+                feature_group_count=f,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            out = yi if out is None else out + yi
+        return out
 
 
 def _dwconv(f, k, dt, name):
@@ -159,8 +193,7 @@ class MMUNet(nn.Module):
         # EFM (ref :267-294)
         x2u = resize_bilinear(x2, (x2.shape[1] * 2, x2.shape[2] * 2),
                               align_corners=True)
-        x2u = nn.Conv(bc, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
-                      feature_group_count=bc, dtype=dt, name="efm_conv")(x2u)
+        x2u = GroupedConv2in(bc, dtype=dt, name="efm_conv")(x2u)
         x2u = _gelu(BatchNorm(train, dt, "efm_bn")(x2u))
 
         def edge(z):

@@ -22,13 +22,28 @@ def _ceil_pad(size: int, window: int, stride: int) -> int:
 def max_pool2d(x: jnp.ndarray, window: int = 2, stride: int | None = None,
                padding: int = 0, ceil_mode: bool = False) -> jnp.ndarray:
     stride = window if stride is None else stride
+    init = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+            else jnp.iinfo(x.dtype).min)
+
+    # large stride-1 max windows are separable: 2 1-D passes do 2k compares
+    # instead of k^2 (exact for max; mmunet's 7x7 morphology gates)
+    if stride == 1 and window > 3 and not ceil_mode:
+        y = jax.lax.reduce_window(
+            x, init, jax.lax.max,
+            window_dimensions=(1, window, 1, 1), window_strides=(1, 1, 1, 1),
+            padding=[(0, 0), (padding, padding), (0, 0), (0, 0)])
+        return jax.lax.reduce_window(
+            y, init, jax.lax.max,
+            window_dimensions=(1, 1, window, 1), window_strides=(1, 1, 1, 1),
+            padding=[(0, 0), (0, 0), (padding, padding), (0, 0)])
+
     pads = [(0, 0), (padding, padding), (padding, padding), (0, 0)]
     if ceil_mode:
         pads[1] = (padding, padding + _ceil_pad(x.shape[1] + 2 * padding, window, stride))
         pads[2] = (padding, padding + _ceil_pad(x.shape[2] + 2 * padding, window, stride))
     return jax.lax.reduce_window(
         x,
-        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        init,
         jax.lax.max,
         window_dimensions=(1, window, window, 1),
         window_strides=(1, stride, stride, 1),

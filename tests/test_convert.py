@@ -215,7 +215,7 @@ def test_convert_strips_module_prefix_cli_logic():
 
 def test_convert_unknown_model():
     with pytest.raises(ValueError, match="No converter"):
-        convert_state_dict("raunet", {})
+        convert_state_dict("not_a_model", {})
 
 
 def _flax_tree_paths(tree):

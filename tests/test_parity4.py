@@ -162,3 +162,26 @@ def test_uctransnet_parity():
     got = _flax_forward(model, variables, x)
     ref = run_torch(tmodel, x)
     np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-3)
+
+    # vis=True: attention-weight return parity (ref uctransnet.py:494-497).
+    # Same weights (vis adds no params), so the variables are reused.
+    tmodel_vis = ref_mod.UCTransNet(config, in_channels=3, num_classes=1,
+                                    img_size=size, vis=True)
+    tmodel_vis.load_state_dict(sd, strict=True)
+    tmodel_vis.eval()
+    with torch.no_grad():
+        t_logits, t_weights = tmodel_vis(
+            torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+
+    model_vis = create_model("uctransnet", image_size=size, vis=True)
+    out = model_vis.apply(variables, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(out["main"], np.float32),
+                               t_logits.numpy().transpose(0, 2, 3, 1),
+                               atol=1e-3, rtol=1e-3)
+    attn = out["attn_weights"]
+    assert len(attn) == 4 and all(len(layer) == 4 for layer in attn)
+    for li in range(4):
+        for si in range(4):
+            np.testing.assert_allclose(
+                np.asarray(attn[li][si], np.float32),
+                t_weights[li][si].numpy(), atol=1e-3, rtol=1e-3)

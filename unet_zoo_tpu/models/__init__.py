@@ -360,9 +360,9 @@ def _build_missformer(in_channels, num_classes, image_size, depth, dtype, **kw):
                 config_fn=get_uctransnet_config)
 def _build_uctransnet(in_channels, num_classes, image_size, depth, dtype, **kw):
     config = kw.pop("config", None) or get_uctransnet_config()
-    kw.pop("vis", None)  # attention-weight return not reproduced
+    vis = kw.pop("vis", config.get("vis", False))
     return UCTransNet(
-        in_channels=in_channels, num_classes=num_classes,
+        in_channels=in_channels, num_classes=num_classes, vis=vis,
         base_channel=config["base_channel"],
         patch_sizes=tuple(config["patch_sizes"]),
         num_layers=config["transformer"]["num_layers"],

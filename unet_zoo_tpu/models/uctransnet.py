@@ -10,8 +10,10 @@ Fidelity notes: the reference's per-head ModuleList of Linear projections
 (ref :94-113) is expressed as a single [heads, C, C] einsum parameter; the
 psi InstanceNorm over the (C_q, KV) score map per head (ref :114,175-178)
 and the head-mean context reduction (ref :203-206) are reproduced exactly.
-``vis=True`` attention-weight return is not reproduced (the harness never
-consumes it; ref :494-497).
+``vis=True`` returns the per-layer, per-scale head-mean attention probs
+(pre-dropout, ref :180-186,321-322) under the aux output key
+``attn_weights`` — the analogue of the reference's ``(logits, weights)``
+tuple return (ref :494-497).
 """
 
 from __future__ import annotations
@@ -83,11 +85,12 @@ class ChannelCrossAttention(nn.Module):
     channel_num: Sequence[int]
     num_heads: int = 4
     attn_dropout: float = 0.0
+    vis: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, embs: List[jnp.ndarray], emb_all: jnp.ndarray,
-                 train: bool = False) -> List[jnp.ndarray]:
+                 train: bool = False):
         dt = self.dtype
         kv_size = sum(self.channel_num)
         nh = self.num_heads
@@ -96,6 +99,7 @@ class ChannelCrossAttention(nn.Module):
         v = _multihead_linear(self, "value", nh, kv_size, kv_size, emb_all)
 
         outs = []
+        weights = []
         for i, emb in enumerate(embs):
             ci = self.channel_num[i]
             q = _multihead_linear(self, f"query{i + 1}", nh, ci, ci, emb)
@@ -107,6 +111,9 @@ class ChannelCrossAttention(nn.Module):
             var = jnp.var(scores.astype(jnp.float32), axis=(2, 3), keepdims=True)
             scores = ((scores - mu) * jax.lax.rsqrt(var + 1e-5)).astype(q.dtype)
             probs = nn.softmax(scores, axis=-1)
+            if self.vis:
+                # head-mean probs, captured pre-dropout (ref :180-186)
+                weights.append(jnp.mean(probs, axis=1))
             probs = nn.Dropout(self.attn_dropout, deterministic=not train)(probs)
             # context: probs [b,h,ci,KV] @ V^T [b,h,KV,n] → [b,h,ci,n];
             # mean over heads → [b,n,ci]
@@ -115,7 +122,7 @@ class ChannelCrossAttention(nn.Module):
             out = nn.Dense(ci, use_bias=False, dtype=dt, name=f"out{i + 1}")(ctx)
             out = nn.Dropout(self.attn_dropout, deterministic=not train)(out)
             outs.append(out)
-        return outs
+        return outs, (tuple(weights) if self.vis else None)
 
 
 class CTransBlock(nn.Module):
@@ -126,18 +133,19 @@ class CTransBlock(nn.Module):
     expand_ratio: int = 4
     dropout_rate: float = 0.1
     attn_dropout: float = 0.0
+    vis: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, embs: List[jnp.ndarray], train: bool = False) -> List[jnp.ndarray]:
+    def __call__(self, embs: List[jnp.ndarray], train: bool = False):
         dt = self.dtype
         emb_all = jnp.concatenate(embs, axis=2)
         cx = [nn.LayerNorm(epsilon=1e-6, dtype=dt, name=f"attn_norm{i + 1}")(e)
               for i, e in enumerate(embs)]
         emb_all = nn.LayerNorm(epsilon=1e-6, dtype=dt, name="attn_norm")(emb_all)
-        attended = ChannelCrossAttention(self.channel_num, self.num_heads,
-                                         self.attn_dropout, dtype=dt,
-                                         name="channel_attn")(cx, emb_all, train)
+        attended, weights = ChannelCrossAttention(
+            self.channel_num, self.num_heads, self.attn_dropout, vis=self.vis,
+            dtype=dt, name="channel_attn")(cx, emb_all, train)
         cx = [o + a for o, a in zip(embs, attended)]
 
         outs = []
@@ -151,7 +159,7 @@ class CTransBlock(nn.Module):
             h = nn.Dense(ci, dtype=dt, name=f"ffn{i + 1}_fc2")(h)
             h = nn.Dropout(self.dropout_rate, deterministic=not train)(h)
             outs.append(e + h)
-        return outs
+        return outs, weights
 
 
 class ChannelTransformer(nn.Module):
@@ -163,21 +171,24 @@ class ChannelTransformer(nn.Module):
     num_layers: int = 4
     num_heads: int = 4
     expand_ratio: int = 4
+    vis: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, feats: List[jnp.ndarray], train: bool = False
-                 ) -> List[jnp.ndarray]:
+    def __call__(self, feats: List[jnp.ndarray], train: bool = False):
         dt = self.dtype
         embs = [
             ChannelEmbedding(self.patch_sizes[i], dtype=dt,
                              name=f"embeddings_{i + 1}")(f, train)
             for i, f in enumerate(feats)
         ]
+        attn_weights = []
         for li in range(self.num_layers):
-            embs = CTransBlock(self.channel_num, self.num_heads,
-                               self.expand_ratio, dtype=dt,
-                               name=f"layer_{li}")(embs, train)
+            embs, w = CTransBlock(self.channel_num, self.num_heads,
+                                  self.expand_ratio, vis=self.vis, dtype=dt,
+                                  name=f"layer_{li}")(embs, train)
+            if self.vis:
+                attn_weights.append(w)
         embs = [nn.LayerNorm(epsilon=1e-6, dtype=dt,
                              name=f"encoder_norm{i + 1}")(e)
                 for i, e in enumerate(embs)]
@@ -194,7 +205,7 @@ class ChannelTransformer(nn.Module):
             sp = nn.Conv(c, (1, 1), dtype=dt, name=f"reconstruct_{i + 1}_conv")(sp)
             sp = BatchNorm(train, dt, name=f"reconstruct_{i + 1}_bn")(sp)
             outs.append(nn.relu(sp) + f)
-        return outs
+        return outs, (tuple(attn_weights) if self.vis else None)
 
 
 class ConvBN(nn.Module):
@@ -254,9 +265,10 @@ class UCTransNet(nn.Module):
         x4 = n_convs(max_pool2d(x3, 2), c * 8, 2, "down3")
         x5 = n_convs(max_pool2d(x4, 2), c * 8, 2, "down4")
 
-        x1r, x2r, x3r, x4r = ChannelTransformer(
+        (x1r, x2r, x3r, x4r), attn_weights = ChannelTransformer(
             (c, c * 2, c * 4, c * 8), self.patch_sizes, self.num_layers,
-            self.num_heads, self.expand_ratio, dtype=dt, name="mtc",
+            self.num_heads, self.expand_ratio, vis=self.vis, dtype=dt,
+            name="mtc",
         )([x1, x2, x3, x4], train)
 
         def up_block(h, skip, out_feats, name):
@@ -270,5 +282,10 @@ class UCTransNet(nn.Module):
         h = up_block(h, x2r, c, "up2")
         h = up_block(h, x1r, c, "up1")
 
-        return {"main": nn.Conv(self.num_classes, (1, 1), dtype=dt,
-                                name="outc")(h)}
+        out = {"main": nn.Conv(self.num_classes, (1, 1), dtype=dt,
+                               name="outc")(h)}
+        if self.vis:
+            # per-layer tuples of per-scale head-mean probs [B, C_i, KV]
+            # (the reference's second return value, ref :494-497)
+            out["attn_weights"] = attn_weights
+        return out

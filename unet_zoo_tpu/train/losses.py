@@ -33,9 +33,15 @@ def multi_output_loss(
     Deep-supervision outputs at reduced resolution get the *mask* resized to
     their size (bilinear, align_corners=False), matching the reference
     (ref: utils/training_loop.py:62,68). Dict iteration is trace-time only.
+
+    Only the logit keys of the output protocol ('main' and 'side*')
+    participate; other aux outputs (e.g. uctransnet's ``attn_weights``
+    when ``vis=True``) are ignored.
     """
     total = jnp.float32(0.0)
     for key in sorted(outputs.keys()):
+        if key != "main" and not key.startswith("side"):
+            continue
         out = outputs[key]
         if out.shape[1:3] != mask.shape[1:3]:
             m = resize_bilinear(mask, (out.shape[1], out.shape[2]), align_corners=False)

@@ -285,3 +285,85 @@ def test_convert_raunet_wranet_structural(name, kwargs):
         want_s = set(_flax_tree_paths(v0["batch_stats"]))
         assert got_s == want_s, (sorted(want_s - got_s)[:5],
                                  sorted(got_s - want_s)[:5])
+
+
+def _synthetic_resnet34_sd():
+    """torchvision resnet34 key layout with correctly-shaped random values
+    (torchvision itself is absent from this image)."""
+    import torch
+
+    rng = np.random.default_rng(7)
+    sd = {}
+
+    def conv(key, cout, cin, k):
+        sd[f"{key}.weight"] = torch.from_numpy(
+            rng.standard_normal((cout, cin, k, k)).astype(np.float32) * 0.05)
+
+    def bn(key, c):
+        sd[f"{key}.weight"] = torch.from_numpy(
+            rng.uniform(0.5, 1.5, c).astype(np.float32))
+        sd[f"{key}.bias"] = torch.from_numpy(
+            rng.standard_normal(c).astype(np.float32) * 0.1)
+        sd[f"{key}.running_mean"] = torch.from_numpy(
+            rng.standard_normal(c).astype(np.float32) * 0.1)
+        sd[f"{key}.running_var"] = torch.from_numpy(
+            rng.uniform(0.5, 1.5, c).astype(np.float32))
+        sd[f"{key}.num_batches_tracked"] = torch.tensor(100)
+
+    conv("conv1", 64, 3, 7)
+    bn("bn1", 64)
+    cin = 64
+    for li, (blocks, c) in enumerate([(3, 64), (4, 128), (6, 256), (3, 512)]):
+        for bi in range(blocks):
+            t = f"layer{li + 1}.{bi}"
+            conv(f"{t}.conv1", c, cin if bi == 0 else c, 3)
+            bn(f"{t}.bn1", c)
+            conv(f"{t}.conv2", c, c, 3)
+            bn(f"{t}.bn2", c)
+            if bi == 0 and (cin != c):
+                conv(f"{t}.downsample.0", c, cin, 1)
+                bn(f"{t}.downsample.1", c)
+        cin = c
+    sd["fc.weight"] = torch.from_numpy(
+        rng.standard_normal((1000, 512)).astype(np.float32) * 0.01)
+    sd["fc.bias"] = torch.zeros(1000)
+    return sd
+
+
+def test_raunet_pretrained_from_file(tmp_path):
+    """raunet(pretrained=True, weights_path=...) loads a torchvision
+    resnet34 .pth into the encoder subtree (ref raunet.py:77,84-93)."""
+    import torch
+
+    sd = _synthetic_resnet34_sd()
+    pth = tmp_path / "resnet34.pth"
+    torch.save(sd, pth)
+
+    model = create_model("raunet", pretrained=True, weights_path=str(pth))
+    variables = model.init(jax.random.PRNGKey(0))
+    enc_p = variables["params"]["encoder"]
+    enc_s = variables["batch_stats"]["encoder"]
+
+    np.testing.assert_allclose(
+        np.asarray(enc_p["conv1"]["kernel"]),
+        sd["conv1.weight"].numpy().transpose(2, 3, 1, 0), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(enc_p["layer2_0"]["downsample_conv"]["kernel"]),
+        sd["layer2.0.downsample.0.weight"].numpy().transpose(2, 3, 1, 0),
+        rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(enc_s["layer4_2"]["BatchNorm_1"]["var"]),
+        sd["layer4.2.bn2.running_var"].numpy(), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(enc_p["layer3_4"]["BatchNorm_0"]["scale"]),
+        sd["layer3.4.bn1.weight"].numpy(), rtol=1e-6)
+
+    # decoder stays random-init, and the model still runs
+    out = model.apply(variables, jnp.zeros((1, 64, 64, 3), jnp.float32))
+    assert out["main"].shape == (1, 64, 64, 1)
+    assert np.all(np.isfinite(np.asarray(out["main"], np.float32)))
+
+
+def test_raunet_pretrained_without_path_warns(capsys):
+    create_model("raunet", pretrained=True)
+    assert "weights_path" in capsys.readouterr().out

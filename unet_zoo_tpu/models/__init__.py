@@ -48,6 +48,10 @@ class ModelSpec:
     loss_weights: Mapping[str, float] = dataclasses.field(default_factory=dict)
     default_aux_weight: float = 0.5
     config_fn: Optional[Callable[..., Any]] = None
+    # pretrained_loader(weights_path) -> overlay(variables) -> variables:
+    # file-based pretrained-weight initialization (zero-egress replacement
+    # for the reference's torchvision downloads, ref raunet.py:84-93).
+    pretrained_loader: Optional[Callable[[str], Callable[[Any], Any]]] = None
 
     def loss_weight(self, key: str) -> float:
         if key in self.loss_weights:
@@ -98,6 +102,8 @@ class ZooModel:
     in_channels: int
     num_classes: int
     image_size: Optional[int]
+    # applied to freshly-initialized variables (pretrained-weight merge)
+    init_overlay: Optional[Callable[[Any], Any]] = None
 
     def dummy_input(self, batch: int = 1, image_size: Optional[int] = None) -> jnp.ndarray:
         size = image_size or self.image_size or 256
@@ -109,7 +115,10 @@ class ZooModel:
         # jit the whole init: one compile instead of per-op eager dispatch
         # (matters on remote-compile TPU backends)
         init_fn = jax.jit(lambda r, s: self.module.init(r, s, train=False))
-        return init_fn(rng, sample)
+        variables = init_fn(rng, sample)
+        if self.init_overlay is not None:
+            variables = self.init_overlay(variables)
+        return variables
 
     def apply(self, variables, x, train: bool = False, rngs=None, **kwargs):
         if train:
@@ -144,6 +153,7 @@ def create_model(model_name: str, pretrained: bool = False, **kwargs) -> ZooMode
     image_size = kwargs.pop("image_size", None)
     depth = kwargs.pop("depth", 5)
     dtype = kwargs.pop("dtype", jnp.float32)
+    weights_path = kwargs.pop("weights_path", None)
 
     if spec.requires_image_size and image_size is None:
         raise ValueError(
@@ -161,8 +171,18 @@ def create_model(model_name: str, pretrained: bool = False, **kwargs) -> ZooMode
         **kwargs,
     )
 
+    init_overlay = None
     if pretrained:
-        print(f"Warning: Pre-trained weights for {model_name} are not yet implemented.")
+        if spec.pretrained_loader is not None and weights_path is not None:
+            init_overlay = spec.pretrained_loader(weights_path)
+        elif spec.pretrained_loader is not None:
+            print(f"Warning: '{model_name}' supports pretrained weights only "
+                  "from a local file in this zero-egress environment — pass "
+                  "weights_path=<path to the torchvision .pth>. Using random "
+                  "init.")
+        else:
+            print(f"Warning: Pre-trained weights for {model_name} are not "
+                  "yet implemented.")
 
     return ZooModel(
         name=key,
@@ -171,6 +191,7 @@ def create_model(model_name: str, pretrained: bool = False, **kwargs) -> ZooMode
         in_channels=in_channels,
         num_classes=num_classes,
         image_size=image_size,
+        init_overlay=init_overlay,
     )
 
 
@@ -325,12 +346,45 @@ def _build_wranet(in_channels, num_classes, image_size, depth, dtype, **kw):
     )
 
 
-@register_model("raunet")
-def _build_raunet(in_channels, num_classes, image_size, depth, dtype,
-                  pretrained=False, **kw):
-    if pretrained:
-        print("Warning: pretrained ResNet34 weights are unavailable in this "
-              "environment (zero egress); RAUNet uses random init.")
+def _raunet_pretrained_loader(weights_path: str):
+    """Build an init overlay that merges a torchvision resnet34 ``.pth``
+    (ImageNet weights) into RAUNet's encoder subtree — the file-based
+    equivalent of the reference's download (ref raunet.py:77,84-93)."""
+    import torch
+
+    from unet_zoo_tpu.utils.convert import convert_resnet34_torchvision
+
+    sd = torch.load(weights_path, map_location="cpu")
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    sd = {k[7:] if k.startswith("module.") else k: v for k, v in sd.items()}
+    enc_p, enc_s = convert_resnet34_torchvision(sd)
+
+    def overlay(variables):
+        def merge(new, old):
+            new = jnp.asarray(new)
+            if new.shape != old.shape:
+                raise ValueError(
+                    f"pretrained encoder weight shape {new.shape} does not "
+                    f"match model {old.shape}")
+            return new.astype(old.dtype)
+
+        variables = dict(variables)
+        params = dict(variables["params"])
+        params["encoder"] = jax.tree_util.tree_map(
+            merge, enc_p, dict(params["encoder"]))
+        variables["params"] = params
+        stats = dict(variables["batch_stats"])
+        stats["encoder"] = jax.tree_util.tree_map(
+            merge, enc_s, dict(stats["encoder"]))
+        variables["batch_stats"] = stats
+        return variables
+
+    return overlay
+
+
+@register_model("raunet", pretrained_loader=_raunet_pretrained_loader)
+def _build_raunet(in_channels, num_classes, image_size, depth, dtype, **kw):
     return RAUNet(in_channels=in_channels, num_classes=num_classes,
                   dtype=dtype, **kw)
 

@@ -757,6 +757,39 @@ def convert_da_transformer(sd) -> Dict[str, Any]:
     return {"params": p, "batch_stats": s}
 
 
+def convert_resnet34_torchvision(sd):
+    """torchvision ``resnet34`` ImageNet state_dict → the flax
+    ``ResNet34Encoder`` subtree ``(params, batch_stats)``.
+
+    This is the file-based replacement for the reference's
+    ``torchvision.models.resnet34(pretrained=True)`` download
+    (ref: unet_zoo/models/raunet.py:84-93 — firstconv=resnet.conv1,
+    firstbn=resnet.bn1, encoder{1-4}=resnet.layer{1-4}). The classifier
+    head (``fc.*``) is ignored.
+    """
+    r = TorchReader(sd)
+    p: Dict[str, Any] = {"conv1": r.conv("conv1", bias=False)}
+    s: Dict[str, Any] = {}
+    p["bn1"], s["bn1"] = r.bn("bn1")
+    for li, blocks in enumerate((3, 4, 6, 3)):
+        for bi in range(blocks):
+            t = f"layer{li + 1}.{bi}"
+            f: Dict[str, Any] = {
+                "Conv_0": r.conv(f"{t}.conv1", bias=False),
+                "Conv_1": r.conv(f"{t}.conv2", bias=False),
+            }
+            fs: Dict[str, Any] = {}
+            f["BatchNorm_0"], fs["BatchNorm_0"] = r.bn(f"{t}.bn1")
+            f["BatchNorm_1"], fs["BatchNorm_1"] = r.bn(f"{t}.bn2")
+            if f"{t}.downsample.0.weight" in r.sd:
+                f["downsample_conv"] = r.conv(f"{t}.downsample.0", bias=False)
+                f["downsample_bn"], fs["downsample_bn"] = r.bn(
+                    f"{t}.downsample.1")
+            p[f"layer{li + 1}_{bi}"] = f
+            s[f"layer{li + 1}_{bi}"] = fs
+    return p, s
+
+
 def convert_raunet(sd) -> Dict[str, Any]:
     """raunet .pth → flax. The reference cannot even be *instantiated* in
     this image (needs torchvision for the resnet34 encoder), but trained

@@ -48,7 +48,7 @@ def bench_model(model_name: str, batch: int, size: int, dtype_str: str,
                            jnp.zeros((1, size, size, 3), jnp.float32))
 
     def upload(seed):
-        x = jax.device_put(rng.standard_normal(
+        x = jax.device_put(np.random.default_rng(seed).standard_normal(
             (nbatches, batch, size, size, 3)).astype(np.float32))
         float(jnp.sum(x))  # force materialization on device
         return x

@@ -115,15 +115,19 @@ def test_multiresunet_parity():
     np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-3)
 
 
-def test_unext_parity():
+@pytest.mark.parametrize("variant,depths", [
+    ("unext_s", (2, 2, 2)),
+    pytest.param("unext", (3, 4, 6), marks=pytest.mark.slow),
+])
+def test_unext_parity(variant, depths):
     ref_mod = load_ref_module("unext")
-    model = create_model("unext_s", image_size=64)
+    model = create_model(variant, image_size=64)
     x, variables = _init(model, size=64)
     fp = variables["params"]
 
-    tmodel = ref_mod.UNext_S(input_channels=3, num_classes=1, img_size=64)
+    tcls = ref_mod.UNext_S if variant == "unext_s" else ref_mod.UNext
+    tmodel = tcls(input_channels=3, num_classes=1, img_size=64)
     sd = {}
-    depths = (2, 2, 2)
     sr_ratios = (8, 4, 2)
     for s in range(3):
         pe = fp[f"patch_embed{s + 1}"]

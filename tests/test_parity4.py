@@ -30,14 +30,22 @@ def _init(model, size, batch=2, seed=0):
     return x, variables
 
 
-def test_gated_axial_parity():
+@pytest.mark.parametrize("variant", [
+    "gated",
+    # ref `logo` builds the identical AxialBlock_dynamic net
+    # (ref: unet_zoo/models/medt_net.py:691-709 vs :731-749); this is the
+    # direct (non-proxy) parity check for the registry's 'logo' entry.
+    pytest.param("logo", marks=pytest.mark.slow),
+])
+def test_gated_axial_parity(variant):
     ref_mod = load_ref_module("medt_net")
     size = 64
-    model = create_model("gated", image_size=size)
+    model = create_model(variant, image_size=size)
     x, variables = _init(model, size)
     fp, fs = variables["params"], variables["batch_stats"]
 
-    tmodel = ref_mod.gated(img_size=size, num_classes=1, in_channels=3)
+    tmodel = getattr(ref_mod, variant)(img_size=size, num_classes=1,
+                                       in_channels=3)
     sd = {k: v.clone() for k, v in tmodel.state_dict().items()}
 
     def put_axial(tprefix, f, s):

@@ -3,13 +3,19 @@
 Replaces torch DataLoader (ref: scripts/train.py:111-128): shuffling,
 drop_last for training, NHWC numpy batch assembly and an overlap-friendly
 single-step prefetch so the host stages batch N+1 while the device runs N.
+
+Worker pools are created once per loader and reused across epochs (the
+torch DataLoader with persistent_workers=True analogue) — rebuilding
+pools every ``__iter__`` cost a thread spawn/join storm per epoch.
+PIL decode and numpy normalize release the GIL for their hot loops, so
+threads (not processes) saturate host decode here.
 """
 
 from __future__ import annotations
 
 import collections
 import concurrent.futures
-import threading
+import weakref
 from typing import Iterator, Optional, Tuple
 
 import jax
@@ -29,6 +35,36 @@ class DataLoader:
         self.seed = seed
         self.num_workers = max(1, num_workers)
         self._epoch = 0
+        # persistent pools, lazily created on first iteration:
+        # item decode (io) vs batch prefetch (1 slot) — a prefetch task
+        # mapping onto its own pool would self-deadlock at num_workers=1
+        self._io_pool: Optional[concurrent.futures.ThreadPoolExecutor] = None
+        self._prefetch_pool: Optional[concurrent.futures.ThreadPoolExecutor] = None
+        self._finalizer = None
+
+    def _pools(self):
+        if self._io_pool is None:
+            self._io_pool = concurrent.futures.ThreadPoolExecutor(
+                self.num_workers, thread_name_prefix="uz-io")
+            self._prefetch_pool = concurrent.futures.ThreadPoolExecutor(
+                1, thread_name_prefix="uz-prefetch")
+            self._finalizer = weakref.finalize(
+                self, DataLoader._shutdown_pools,
+                self._io_pool, self._prefetch_pool)
+        return self._io_pool, self._prefetch_pool
+
+    @staticmethod
+    def _shutdown_pools(io_pool, prefetch_pool):
+        io_pool.shutdown(wait=False, cancel_futures=True)
+        prefetch_pool.shutdown(wait=False, cancel_futures=True)
+
+    def close(self) -> None:
+        """Release worker threads (also runs automatically on GC)."""
+        if self._finalizer is not None:
+            self._finalizer()
+        self._io_pool = None
+        self._prefetch_pool = None
+        self._finalizer = None
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -47,25 +83,22 @@ class DataLoader:
         idx = self._indices()
         self._epoch += 1
         nb = len(self)
-        # separate pools: item decode (io) vs batch prefetch (1 slot) —
-        # a prefetch task mapping onto its own pool would self-deadlock
-        # at num_workers=1
-        with concurrent.futures.ThreadPoolExecutor(self.num_workers) as io_pool, \
-                concurrent.futures.ThreadPoolExecutor(1) as prefetch_pool:
-            def load_batch(b):
-                sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
-                items = list(io_pool.map(self.dataset.__getitem__, sel))
-                imgs = np.stack([it[0] for it in items])
-                masks = np.stack([it[1] for it in items])
-                paths = tuple(it[2] for it in items)
-                return imgs, masks, paths
+        io_pool, prefetch_pool = self._pools()
 
-            pending: Optional[concurrent.futures.Future] = None
-            for b in range(nb):
-                cur = load_batch(b) if pending is None else pending.result()
-                pending = (prefetch_pool.submit(load_batch, b + 1)
-                           if b + 1 < nb else None)
-                yield cur
+        def load_batch(b):
+            sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
+            items = list(io_pool.map(self.dataset.__getitem__, sel))
+            imgs = np.stack([it[0] for it in items])
+            masks = np.stack([it[1] for it in items])
+            paths = tuple(it[2] for it in items)
+            return imgs, masks, paths
+
+        pending: Optional[concurrent.futures.Future] = None
+        for b in range(nb):
+            cur = load_batch(b) if pending is None else pending.result()
+            pending = (prefetch_pool.submit(load_batch, b + 1)
+                       if b + 1 < nb else None)
+            yield cur
 
 
 def prefetch_to_device(iterator, size: int = 2, sharding=None):

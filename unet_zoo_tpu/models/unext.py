@@ -78,6 +78,15 @@ class UNext(nn.Module):
         u = conv3(dims[0], "decoder_level2")(u) + x1
         u = conv3(dims[0], "decoder_level3")(u)
 
-        u = resize_bilinear(u, (u.shape[1] * 4, u.shape[2] * 4), align_corners=True)
+        # Head-commute: the 1x1 head and the bilinear x4 upsample are both
+        # linear and act on disjoint axes (channels vs. space), and bilinear
+        # interpolation weights sum to 1 per output pixel so the bias
+        # commutes exactly too. Applying the head first upsamples
+        # num_classes channels instead of embed_dims[0] — this removes a
+        # [B,4H,4W,C] layout copy that dominated the profile (21.9ms of a
+        # 110ms step at b128/256px on v5e).
+        # Reference order (upsample then conv): unet_zoo/models/unext.py:253,320.
         out = nn.Conv(self.num_classes, (1, 1), dtype=dt, name="final_conv")(u)
+        out = resize_bilinear(out, (out.shape[1] * 4, out.shape[2] * 4),
+                              align_corners=True)
         return {"main": out}

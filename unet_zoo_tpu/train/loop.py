@@ -47,21 +47,18 @@ from unet_zoo_tpu.utils.checkpoint import (
 from unet_zoo_tpu.utils.logger import Logger
 
 
-class _NullWriter:
-    def add_scalar(self, *a, **k):
-        pass
-
-    def close(self):
-        pass
-
-
 def _make_writer(log_dir: str):
+    """TensorBoard writer: torch's if importable, else the dependency-free
+    event writer (never silently drops TB logging — the reference always
+    logs to TB, ref: utils/training_loop.py:203-204)."""
     try:
         from torch.utils.tensorboard import SummaryWriter
 
         return SummaryWriter(log_dir)
     except Exception:
-        return _NullWriter()
+        from unet_zoo_tpu.utils.tb_writer import EventFileWriter
+
+        return EventFileWriter(log_dir)
 
 
 def _epoch_mean(acc: List[jnp.ndarray]) -> float:

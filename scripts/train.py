@@ -110,7 +110,7 @@ def main():
 
     train_dataset = BoneDataset(config.DATASET_DIR, split="train",
                                 image_size=config.IMAGE_SIZE,
-                                augment=config.AUGMENT,
+                                augment=config.AUGMENT and not config.AUGMENT_ON_DEVICE,
                                 cache=config.CACHE_DATA)
     val_dataset = BoneDataset(config.DATASET_DIR, split="valid",
                               image_size=config.IMAGE_SIZE,

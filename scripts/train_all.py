@@ -108,7 +108,7 @@ def main():
     check_dataset_integrity(config.DATASET_DIR, logger)
     train_ds = BoneDataset(config.DATASET_DIR, "train",
                            image_size=config.IMAGE_SIZE,
-                           augment=config.AUGMENT, cache=config.CACHE_DATA)
+                           augment=config.AUGMENT and not config.AUGMENT_ON_DEVICE, cache=config.CACHE_DATA)
     val_ds = BoneDataset(config.DATASET_DIR, "valid",
                          image_size=config.IMAGE_SIZE, cache=config.CACHE_DATA)
     test_ds = BoneDataset(config.DATASET_DIR, "test", image_size=config.IMAGE_SIZE)

@@ -24,6 +24,9 @@ class Config:
         self.NUM_WORKERS = d["data"]["num_workers"]
         self.IMAGE_SIZE = d["data"].get("image_size", 512)
         self.AUGMENT = d["data"].get("augment", False)
+        # on-device flips compiled into the train step (data/augment.py);
+        # when true, host-side augmentation is skipped in the scripts
+        self.AUGMENT_ON_DEVICE = d["data"].get("augment_on_device", False)
         self.CACHE_DATA = d["data"].get("cache", False)
 
         t = d["training"]

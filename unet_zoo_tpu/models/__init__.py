@@ -494,6 +494,28 @@ def _build_logo(in_channels, num_classes, image_size, depth, dtype,
     return _build_medt_family("gated", in_channels, num_classes, image_size, dtype, kw)
 
 
+@register_model("medt_logo", default_image_size=128)
+def _build_medt_logo(in_channels, num_classes, image_size, depth, dtype,
+                     pretrained=False, **kw):
+    """Superset entry: the true LoGo dual-branch net. The reference defines
+    it (ref medt_net.py:510-664) but never exposes it through any factory;
+    here it is a first-class registry member."""
+    from unet_zoo_tpu.models.medt_net import MedTLoGo
+
+    for dead in ("norm_layer", "zero_init_residual",
+                 "replace_stride_with_dilation", "layers", "s"):
+        kw.pop(dead, None)
+    return MedTLoGo(
+        num_classes=num_classes,
+        in_channels=in_channels,
+        img_size=image_size if image_size is not None else 128,
+        groups=kw.pop("groups", 8),
+        width_per_group=kw.pop("width_per_group", 64),
+        dtype=dtype,
+        **kw,
+    )
+
+
 @register_model("vnet")
 def _build_vnet(in_channels, num_classes, image_size, depth, dtype, **kw):
     return VNet(

@@ -12,8 +12,10 @@ BatchNorm'd pairwise (ref :108-109). Variants:
 * ``wopos`` — position-free (ref :211-267), used by ``medt``
 
 Registry quirk reproduced: the reference wires ``logo`` identically to
-``gated`` (ref :731-749); its true LoGo dual-branch class ``medt_net``
-(ref :510-664) is dead code there and is not reproduced.
+``gated`` (ref :731-749). The true LoGo dual-branch class ``medt_net``
+(ref :510-664) — dead code in the reference (no factory instantiates it)
+— is reproduced here as :class:`MedTLoGo` and exposed as the superset
+registry entry ``medt_logo``.
 """
 
 from __future__ import annotations
@@ -229,4 +231,132 @@ class ResAxialAttentionUNet(nn.Module):
         u = nn.relu(dec(u, int(128 * expansion * s), "decoder3") + x1)
         u = nn.relu(dec(u, int(64 * expansion * s), "decoder4"))
         out = nn.Conv(self.num_classes, (1, 1), dtype=dt, name="final_conv")(u)
+        return {"main": out}
+
+
+class _LoGoStem(nn.Module):
+    """conv7x7(s2) → BN → ReLU → conv3x3 → BN → ReLU → conv3x3 → BN → ReLU
+    (ref :533-540 / :548-555; shared shape for both branches)."""
+
+    inplanes: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        dt = self.dtype
+        h = nn.Conv(self.inplanes, (7, 7), strides=(2, 2),
+                    padding=((3, 3), (3, 3)), use_bias=False, dtype=dt,
+                    name="conv1")(x)
+        h = nn.relu(BatchNorm(train, dt, name="bn1")(h))
+        h = nn.Conv(128, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=dt, name="conv2")(h)
+        h = nn.relu(BatchNorm(train, dt, name="bn2")(h))
+        h = nn.Conv(self.inplanes, (3, 3), padding=((1, 1), (1, 1)),
+                    use_bias=False, dtype=dt, name="conv3")(h)
+        return nn.relu(BatchNorm(train, dt, name="bn3")(h))
+
+
+class MedTLoGo(nn.Module):
+    """LoGo dual-branch MedT (ref medt_net :510-664 — dead code there).
+
+    Global branch: stem + 2 axial stages on the full image + 2-step
+    decoder. Local branch: every 32x32 patch of the input through a
+    4-stage axial net with a 5-step decoder; outputs are summed and fused.
+
+    TPU-native design decisions vs. the reference:
+
+    * the reference's Python double loop over patches (ref :626-655,
+      64 sequential iterations at 256px) is replaced by folding patches
+      into the batch dimension — one vectorized pass, identical math in
+      eval mode (BatchNorm running-stat aggregation differs benignly in
+      train mode: one update over all patches instead of the reference's
+      sequential per-patch updates).
+    * local-branch axial kernel sizes are derived from the actual 32x32
+      patch resolution (16, 16, 8, 4 — exactly the reference's values at
+      img_size=128, the only size its ``img_size_p``-based computation is
+      consistent for; other sizes would crash the reference).
+    """
+
+    mode: str = "gated"        # global-branch blocks (AxialBlock_dynamic)
+    mode_local: str = "wopos"  # local-branch blocks (AxialBlock_wopos)
+    layers: Sequence[int] = (1, 2, 4, 1)
+    num_classes: int = 1
+    in_channels: int = 3
+    img_size: int = 128
+    s: float = 0.125
+    groups: int = 8
+    width_per_group: int = 64
+    patch_size: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:
+        dt = self.dtype
+        s = self.s
+        expansion = 2
+        inplanes = int(64 * s)
+        b, img_h, img_w, _ = x.shape
+        p = self.patch_size
+        if img_h % p or img_w % p:
+            raise ValueError(f"LoGo needs image size divisible by {p}")
+
+        def axial_stage(h, planes, blocks, stride, ks, mode, prefix):
+            for bi in range(blocks):
+                h = AxialBlock(
+                    planes, ks if bi == 0 else (ks // 2 if stride != 1 else ks),
+                    stride if bi == 0 else 1, self.groups,
+                    self.width_per_group, mode, expansion, dtype=dt,
+                    name=f"{prefix}_{bi}")(h, train)
+            return h
+
+        def dec(z, feats, name, stride=1):
+            z = nn.Conv(feats, (3, 3), strides=(stride, stride),
+                        padding=((1, 1), (1, 1)), dtype=dt, name=name)(z)
+            return nn.relu(resize_bilinear(
+                z, (z.shape[1] * 2, z.shape[2] * 2), align_corners=True))
+
+        # ---- global branch (ref :601-617): stem + layer1/2 + dec4/dec5
+        g = _LoGoStem(inplanes, dtype=dt, name="stem")(x, train)
+        x1_full = axial_stage(g, int(128 * s), self.layers[0], 1,
+                              img_h // 2, self.mode, "layer1")
+        x2_full = axial_stage(x1_full, int(256 * s), self.layers[1], 2,
+                              img_h // 2, self.mode, "layer2")
+        gdec = dec(x2_full, int(128 * expansion * s), "decoder4") + x1_full
+        gdec = dec(gdec, int(64 * expansion * s), "decoder5")
+
+        # ---- local branch (ref :619-655): fold 32x32 patches into batch
+        nh, nw = img_h // p, img_w // p
+        xp = x.reshape(b, nh, p, nw, p, self.in_channels)
+        xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(
+            b * nh * nw, p, p, self.in_channels)
+
+        lp = _LoGoStem(inplanes, dtype=dt, name="stem_p")(xp, train)
+        ks0 = p // 2  # 16: actual post-stem patch axis length
+        x1p = axial_stage(lp, int(128 * s), self.layers[0], 1, ks0,
+                          self.mode_local, "layer1_p")
+        x2p = axial_stage(x1p, int(256 * s), self.layers[1], 2, ks0,
+                          self.mode_local, "layer2_p")
+        x3p = axial_stage(x2p, int(512 * s), self.layers[2], 2, ks0 // 2,
+                          self.mode_local, "layer3_p")
+        x4p = axial_stage(x3p, int(1024 * s), self.layers[3], 2, ks0 // 4,
+                          self.mode_local, "layer4_p")
+
+        u = dec(x4p, int(1024 * expansion * s), "decoder1_p", stride=2) + x4p
+        u = dec(u, int(512 * expansion * s), "decoder2_p") + x3p
+        u = dec(u, int(256 * expansion * s), "decoder3_p") + x2p
+        u = dec(u, int(128 * expansion * s), "decoder4_p") + x1p
+        u = dec(u, int(64 * expansion * s), "decoder5_p")
+
+        # unfold patches back to the full image (ref writes into x_loc)
+        c_out = u.shape[-1]
+        x_loc = u.reshape(b, nh, nw, p, p, c_out)
+        x_loc = x_loc.transpose(0, 1, 3, 2, 4, 5).reshape(
+            b, img_h, img_w, c_out)
+
+        # ---- fuse (ref :657-661)
+        fused = gdec + x_loc
+        fused = nn.relu(nn.Conv(c_out, (3, 3), padding=((1, 1), (1, 1)),
+                                dtype=dt, name="decoderf")(fused))
+        out = nn.Conv(self.num_classes, (1, 1), dtype=dt,
+                      name="adjust")(nn.relu(fused))
         return {"main": out}

@@ -9,6 +9,15 @@ from unet_zoo_tpu.parallel.mesh import (
     replicate_state,
 )
 from unet_zoo_tpu.parallel.fsdp import fsdp_sharding_for, shard_state_fsdp
+from unet_zoo_tpu.parallel.multihost import (
+    fully_replicate_to_host,
+    global_mesh,
+    initialize_distributed,
+    is_primary,
+    make_global_batch,
+    process_batch_slice,
+    sync_global_devices,
+)
 
 __all__ = [
     "create_mesh",
@@ -19,4 +28,11 @@ __all__ = [
     "replicate_state",
     "fsdp_sharding_for",
     "shard_state_fsdp",
+    "initialize_distributed",
+    "is_primary",
+    "global_mesh",
+    "process_batch_slice",
+    "make_global_batch",
+    "sync_global_devices",
+    "fully_replicate_to_host",
 ]

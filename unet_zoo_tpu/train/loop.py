@@ -180,7 +180,8 @@ def train_model(
         state = replicate_state(mesh, state)
         sharding = batch_sharding(mesh)
 
-    train_step = make_train_step(model)
+    train_step = make_train_step(
+        model, augment=getattr(config, "AUGMENT_ON_DEVICE", False))
     eval_step = make_eval_step(model)
 
     train_losses: List[float] = []

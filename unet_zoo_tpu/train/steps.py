@@ -70,7 +70,8 @@ def set_lr(state: TrainState, lr: float) -> TrainState:
 
 def make_train_step(model: ZooModel,
                     criterion: Callable = bce_with_logits,
-                    remat: bool = False) -> Callable:
+                    remat: bool = False,
+                    augment: bool = False) -> Callable:
     """Build the jitted train step for ``model``.
 
     Returns ``step(state, images, masks) -> (state, metrics)`` where metrics
@@ -80,6 +81,8 @@ def make_train_step(model: ZooModel,
     are dead after the update — halves peak HBM for the optimizer state).
     ``remat=True`` checkpoints the forward (recompute activations in the
     backward pass) to trade FLOPs for activation memory on big models.
+    ``augment=True`` applies on-device random H/V flips to the batch inside
+    the compiled step (see data/augment.py), keyed off ``state.step``.
     """
 
     def forward(params, batch_stats, images, dropout_rng):
@@ -103,6 +106,11 @@ def make_train_step(model: ZooModel,
     def train_step(state: TrainState, images: jnp.ndarray, masks: jnp.ndarray
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         dropout_rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+        if augment:
+            from unet_zoo_tpu.data.augment import random_flips
+
+            aug_rng = jax.random.fold_in(jax.random.PRNGKey(1), state.step)
+            images, masks = random_flips(aug_rng, images, masks)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, (main_logits, new_stats)), grads = grad_fn(
             state.params, state.batch_stats, images, masks, dropout_rng

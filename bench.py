@@ -47,16 +47,25 @@ def bench_model(model_name: str, batch: int, size: int, dtype_str: str,
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, size, size, 3), jnp.float32))
 
+    @jax.jit
+    def _gen(seed):
+        return jax.random.normal(
+            jax.random.PRNGKey(seed), (nbatches, batch, size, size, 3),
+            jnp.float32)
+
     def upload(seed):
-        x = jax.device_put(np.random.default_rng(seed).standard_normal(
-            (nbatches, batch, size, size, 3)).astype(np.float32))
+        # Generate ON DEVICE: host→tunnel uploads of GB-scale arrays take
+        # minutes on this image. A fresh seed per call still defeats the
+        # relay's (program, args) result cache; completion is forced below
+        # by fetching a scalar that data-depends on every output.
+        x = _gen(seed)
         float(jnp.sum(x))  # force materialization on device
         return x
 
     if mode == "train":
-        masks_np = (rng.uniform(size=(nbatches, batch, size, size, 1)) > 0.5
-                    ).astype(np.float32)
-        masks = jax.device_put(masks_np)
+        masks = jax.jit(lambda: (jax.random.uniform(
+            jax.random.PRNGKey(7), (nbatches, batch, size, size, 1)) > 0.5
+        ).astype(jnp.float32))()
         float(jnp.sum(masks))
         state = create_train_state(model, jax.random.PRNGKey(0),
                                    jnp.zeros((1, size, size, 3), jnp.float32),

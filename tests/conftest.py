@@ -25,6 +25,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: the suite's wall-time is dominated by jit
+# compiles of model train/eval steps; caching them across runs cuts
+# re-runs to a fraction of the cold time.
+_cache_dir = os.path.join(
+    os.path.expanduser("~"), ".cache", "unet_zoo_tpu", "jax_test_cache")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 assert jax.device_count() >= 8, (
     "tests expect >=8 virtual CPU devices; got "
     f"{jax.device_count()} on {jax.devices()[0].platform}"

@@ -9,8 +9,9 @@ Design notes vs the reference:
 * The reference hard-codes the final upsample to (512, 512) (ref :333), so
   it only works at 512 input; here the final upsample targets the actual
   input resolution (identical behavior at 512).
-* ``DANetHead`` (ref :216-267) is dead code in the reference and is not
-  reproduced.
+* ``DANetHead`` (ref :216-267) is dead code in the reference ("provided in
+  the snippet", never wired into DA_Transformer); reproduced here as
+  :class:`DANetHead` for component completeness.
 """
 
 from __future__ import annotations
@@ -191,6 +192,49 @@ class DACam(nn.Module):
         out = jnp.einsum("bcd,bnd->bnc", attn, flat).reshape(b, h, w, c)
         gamma = self.param("gamma", nn.initializers.zeros, (1,), jnp.float32)
         return gamma.astype(x.dtype) * out + x
+
+
+class DANetHead(nn.Module):
+    """Classic DANet head: parallel PAM/CAM branches over 3x3-conv-reduced
+    features, fused by addition (ref :216-267 — dead code there; kept for
+    component completeness). The reference's ``norm(planes)`` is BatchNorm
+    with momentum 0.95 / eps 1e-3 (ref :208-211).
+    """
+
+    out_channels: int
+    attn_res: Tuple[int, int] = (64, 64)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 return_aux: bool = False):
+        dt = self.dtype
+        inter = x.shape[-1] // 16
+
+        def conv_bn_relu(z, feats, name):
+            z = nn.Conv(feats, (3, 3), padding=((1, 1), (1, 1)),
+                        use_bias=False, dtype=dt, name=f"{name}_conv")(z)
+            z = nn.BatchNorm(use_running_average=not train, momentum=0.05,
+                             epsilon=1e-3, dtype=dt, name=f"{name}_bn")(z)
+            return nn.relu(z)
+
+        def head(z, name):
+            z = nn.Dropout(0.05, deterministic=not train)(z)
+            z = nn.Conv(self.out_channels, (1, 1), dtype=dt, name=name)(z)
+            return nn.relu(z)
+
+        feat1 = conv_bn_relu(x, inter, "conv5a")
+        sa_conv = conv_bn_relu(
+            DAPam(self.attn_res, dtype=dt, name="sa")(feat1), inter, "conv51")
+
+        feat2 = conv_bn_relu(x, inter, "conv5c")
+        sc_conv = conv_bn_relu(
+            DACam(dtype=dt, name="sc")(feat2), inter, "conv52")
+
+        sasc_output = head(sa_conv + sc_conv, "conv8")
+        if return_aux:  # the ref computes (but discards) per-branch heads
+            return sasc_output, head(sa_conv, "conv6"), head(sc_conv, "conv7")
+        return sasc_output
 
 
 class UpSampleDA(nn.Module):

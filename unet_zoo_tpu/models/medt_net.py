@@ -38,8 +38,34 @@ def _relative_index(kernel_size: int) -> np.ndarray:
     return (k - q + kernel_size - 1).reshape(-1)
 
 
+class _FoldedBN(nn.Module):
+    """Declares the exact variable tree of nn.BatchNorm (params scale/bias,
+    batch_stats mean/var) and returns them for host-side folding — used by
+    the fused Pallas eval path so checkpoints/converters see an identical
+    parameter surface to the XLA path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((self.features,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((self.features,), jnp.float32))
+        return scale, bias, mean.value, var.value
+
+
 class AxialAttention(nn.Module):
-    """One-axis attention (ref :50-123 / :125-209 / :211-267)."""
+    """One-axis attention (ref :50-123 / :125-209 / :211-267).
+
+    ``use_pallas=True`` routes eval-mode forwards through the fused VMEM
+    kernel (ops/pallas/axial_attention.py) — BN running stats and the
+    gated variant's scalar gates fold into affine scale/shift. Training
+    always uses the XLA path (batch statistics)."""
 
     out_planes: int
     groups: int = 8
@@ -47,6 +73,7 @@ class AxialAttention(nn.Module):
     stride: int = 1
     width_axis: bool = False
     mode: str = "base"  # 'base' | 'gated' | 'wopos'
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -73,6 +100,17 @@ class AxialAttention(nn.Module):
         q = qkv[..., : gp // 2]
         k = qkv[..., gp // 2 : gp]
         v = qkv[..., gp:]
+
+        if self.use_pallas and not train:
+            out = self._fused_path(q, k, v, length, g, gp, ks)
+            out = out.astype(dt)
+            if self.width_axis:
+                out = out.reshape(b, h, w, self.out_planes)
+            else:
+                out = out.reshape(b, w, h, self.out_planes).transpose(0, 2, 1, 3)
+            if self.stride > 1:
+                out = avg_pool2d(out, self.stride, self.stride)
+            return out
 
         if self.mode == "wopos":
             sim = jnp.einsum("bigc,bjgc->bijg", q, k)
@@ -130,6 +168,61 @@ class AxialAttention(nn.Module):
             out = avg_pool2d(out, self.stride, self.stride)
         return out
 
+    def _fused_path(self, q, k, v, length, g, gp, ks):
+        """Eval-only fused kernel path: declare the same parameter surface
+        as the XLA branch, fold BN/gates into affines, call the kernel."""
+        import jax
+
+        from unet_zoo_tpu.ops.pallas.axial_attention import (
+            fold_bn_eval,
+            fused_axial_attention,
+        )
+
+        interpret = jax.default_backend() == "cpu"
+        wopos = self.mode == "wopos"
+        if wopos:
+            s_sc, s_bi, s_mu, s_va = _FoldedBN(g, name="bn_similarity")()
+            a_s, b_s = fold_bn_eval(s_sc, s_bi, s_mu, s_va)
+            zeros = jnp.zeros_like(a_s)
+            sim_scale = jnp.stack([a_s, zeros, zeros])
+            sim_shift = jnp.stack([b_s, zeros, zeros])
+            o_sc, o_bi, o_mu, o_va = _FoldedBN(self.out_planes,
+                                               name="bn_output")()
+            a_o, b_o = fold_bn_eval(o_sc, o_bi, o_mu, o_va)
+            zeros2 = jnp.zeros((g, gp), jnp.float32)
+            out_scale = jnp.stack([a_o.reshape(g, gp), zeros2])
+            out_shift = jnp.stack([b_o.reshape(g, gp), zeros2])
+            q_emb = k_emb = v_emb = None
+        else:
+            rel_init = nn.initializers.normal(np.sqrt(1.0 / gp))
+            relative = self.param("relative", rel_init,
+                                  (gp * 2, 2 * ks - 1), jnp.float32)
+            emb = relative[:, jnp.asarray(_relative_index(ks))]
+            emb = emb.reshape(gp * 2, ks, ks)
+            q_emb = emb[: gp // 2, :length, :length]
+            k_emb = emb[gp // 2 : gp, :length, :length]
+            v_emb = emb[gp:, :length, :length]
+            s_sc, s_bi, s_mu, s_va = _FoldedBN(3 * g, name="bn_similarity")()
+            a_s, b_s = fold_bn_eval(s_sc, s_bi, s_mu, s_va)
+            sim_scale = a_s.reshape(3, g)
+            sim_shift = b_s.reshape(3, g)
+            o_sc, o_bi, o_mu, o_va = _FoldedBN(self.out_planes * 2,
+                                               name="bn_output")()
+            a_o, b_o = fold_bn_eval(o_sc, o_bi, o_mu, o_va)
+            # paired channel layout is (g, gp, 2) — rows: (sv, sve)
+            out_scale = jnp.moveaxis(a_o.reshape(g, gp, 2), -1, 0)
+            out_shift = jnp.moveaxis(b_o.reshape(g, gp, 2), -1, 0)
+            if self.mode == "gated":
+                f_qr = self.param("f_qr", nn.initializers.constant(0.1), ())
+                f_kr = self.param("f_kr", nn.initializers.constant(0.1), ())
+                f_sv = self.param("f_sv", nn.initializers.constant(1.0), ())
+                f_sve = self.param("f_sve", nn.initializers.constant(0.1), ())
+                sim_scale = sim_scale.at[1].mul(f_qr).at[2].mul(f_kr)
+                out_scale = out_scale.at[0].mul(f_sv).at[1].mul(f_sve)
+        return fused_axial_attention(
+            q, k, v, q_emb, k_emb, v_emb, sim_scale, sim_shift,
+            out_scale, out_shift, wopos=wopos, interpret=interpret)
+
 
 class AxialBlock(nn.Module):
     """conv1x1 down → height attn → width attn(stride) → conv1x1 up +
@@ -142,6 +235,7 @@ class AxialBlock(nn.Module):
     base_width: int = 64
     mode: str = "base"
     expansion: int = 2
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -154,10 +248,12 @@ class AxialBlock(nn.Module):
         h = nn.Conv(width, (1, 1), use_bias=False, dtype=dt, name="conv_down")(x)
         h = nn.relu(BatchNorm(train, dt, name="bn1")(h))
         h = AxialAttention(width, self.groups, self.kernel_size, mode=self.mode,
-                           dtype=dt, name="hight_block")(h, train)
+                           use_pallas=self.use_pallas, dtype=dt,
+                           name="hight_block")(h, train)
         h = AxialAttention(width, self.groups, self.kernel_size,
                            stride=self.stride, width_axis=True, mode=self.mode,
-                           dtype=dt, name="width_block")(h, train)
+                           use_pallas=self.use_pallas, dtype=dt,
+                           name="width_block")(h, train)
         h = nn.relu(h)
         h = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=dt, name="conv_up")(h)
         h = BatchNorm(train, dt, name="bn2")(h)
@@ -182,6 +278,7 @@ class ResAxialAttentionUNet(nn.Module):
     s: float = 0.125
     groups: int = 8
     width_per_group: int = 64
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -215,7 +312,8 @@ class ResAxialAttentionUNet(nn.Module):
                 h = AxialBlock(
                     planes, ks if bi == 0 else (ks // 2 if stride != 1 else ks),
                     stride if bi == 0 else 1, self.groups, self.width_per_group,
-                    self.mode, expansion, dtype=dt, name=f"layer{li + 1}_{bi}",
+                    self.mode, expansion, use_pallas=self.use_pallas, dtype=dt,
+                    name=f"layer{li + 1}_{bi}",
                 )(h, train)
             skips.append(h)
         x1, x2, x3, x4 = skips
@@ -287,6 +385,7 @@ class MedTLoGo(nn.Module):
     groups: int = 8
     width_per_group: int = 64
     patch_size: int = 32
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -305,7 +404,8 @@ class MedTLoGo(nn.Module):
                 h = AxialBlock(
                     planes, ks if bi == 0 else (ks // 2 if stride != 1 else ks),
                     stride if bi == 0 else 1, self.groups,
-                    self.width_per_group, mode, expansion, dtype=dt,
+                    self.width_per_group, mode, expansion,
+                    use_pallas=self.use_pallas, dtype=dt,
                     name=f"{prefix}_{bi}")(h, train)
             return h
 

@@ -5,5 +5,6 @@ compare against the pure-XLA reference paths.
 """
 
 from unet_zoo_tpu.ops.pallas.window_attention import swin_window_attention
+from unet_zoo_tpu.ops.pallas.axial_attention import fused_axial_attention
 
-__all__ = ["swin_window_attention"]
+__all__ = ["swin_window_attention", "fused_axial_attention"]

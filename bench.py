@@ -136,7 +136,7 @@ def main():
     parser.add_argument("--dtype", default="bfloat16",
                         choices=["bfloat16", "float32"])
     parser.add_argument("--mode", default="fwd", choices=["fwd", "train"])
-    parser.add_argument("--nbatches", type=int, default=4)
+    parser.add_argument("--nbatches", type=int, default=16)
     args = parser.parse_args()
 
     ips = bench_model(args.model, args.batch, args.size, args.dtype,

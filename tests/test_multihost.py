@@ -40,12 +40,13 @@ GLOBAL = 16
 start, stop = process_batch_slice(GLOBAL)
 assert stop - start == 8
 full = np.arange(GLOBAL, dtype=np.float32).reshape(GLOBAL, 1, 1, 1)
-full = np.broadcast_to(full, (GLOBAL, 4, 4, 3)).copy()
+# 32x32: a 4-level unet pools 4x4 inputs to zero-size (NaN batch stats)
+full = np.broadcast_to(full, (GLOBAL, 32, 32, 3)).copy()
 local = full[start:stop]
-masks_local = np.ones((8, 4, 4, 1), np.float32)
+masks_local = np.ones((8, 32, 32, 1), np.float32)
 
 imgs, masks = make_global_batch(mesh, local, masks_local)
-assert imgs.shape == (GLOBAL, 4, 4, 3)
+assert imgs.shape == (GLOBAL, 32, 32, 3)
 assert not imgs.is_fully_addressable
 
 mean = jax.jit(lambda a: a.mean())(imgs)
@@ -60,7 +61,7 @@ from unet_zoo_tpu.train.steps import create_train_state, make_train_step
 
 model = create_model("unet")
 state = create_train_state(model, jax.random.PRNGKey(0),
-                           np.zeros((1, 4, 4, 3), np.float32),
+                           np.zeros((1, 32, 32, 3), np.float32),
                            learning_rate=1e-3)
 state = jax.device_put(state, NamedSharding(mesh, P()))
 step = make_train_step(model)
@@ -71,6 +72,26 @@ assert int(state.step) == 1
 
 gathered = fully_replicate_to_host(metrics)
 assert np.isfinite(gathered["loss"])
+
+# multi-host checkpoint: every process participates in the orbax save,
+# only the primary writes the JSON sidecar; then a coordinated restore.
+import tempfile
+from unet_zoo_tpu.train.steps import variables_of
+from unet_zoo_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+ckpt_dir = os.environ["UZ_TEST_CKPT_DIR"]
+save_checkpoint(ckpt_dir, {
+    "variables": variables_of(state),
+    "step": int(state.step),
+    "meta": {"epoch": 1},
+})
+restored = load_checkpoint(ckpt_dir, {
+    "variables": variables_of(state), "step": 0})
+assert restored.get("meta", {}).get("epoch") == 1, \
+    f"meta missing/wrong: keys={sorted(restored)} meta={restored.get('meta')}"
+r0 = jax.tree_util.tree_leaves(restored["variables"])[0]
+r0h = fully_replicate_to_host(r0)
+assert np.isfinite(np.asarray(r0h)).all(), "restored array not finite"
 
 sync_global_devices("done")
 print(f"proc{jax.process_index()} primary={is_primary()} loss={loss:.4f} OK")
@@ -89,9 +110,11 @@ def _free_port():
 def test_two_process_distributed_train_step(tmp_path):
     port = _free_port()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ckpt_dir = os.path.join(str(tmp_path), "mh_ckpt")
     procs = []
     for pid in range(2):
         env = dict(os.environ)
+        env["UZ_TEST_CKPT_DIR"] = ckpt_dir
         env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
         env["JAX_NUM_PROCESSES"] = "2"
         env["JAX_PROCESS_ID"] = str(pid)

@@ -62,9 +62,11 @@ class _FoldedBN(nn.Module):
 class AxialAttention(nn.Module):
     """One-axis attention (ref :50-123 / :125-209 / :211-267).
 
-    ``use_pallas=True`` routes eval-mode forwards through the fused VMEM
+    ``use_pallas`` routes eval-mode forwards through the fused VMEM
     kernel (ops/pallas/axial_attention.py) — BN running stats and the
-    gated variant's scalar gates fold into affine scale/shift. Training
+    gated variant's scalar gates fold into affine scale/shift (measured
+    1.66x on `gated` at b32/256px v5e). Default (None) = auto: on for
+    TPU backends, off on CPU (tests/parity take the XLA path). Training
     always uses the XLA path (batch statistics)."""
 
     out_planes: int
@@ -73,7 +75,7 @@ class AxialAttention(nn.Module):
     stride: int = 1
     width_axis: bool = False
     mode: str = "base"  # 'base' | 'gated' | 'wopos'
-    use_pallas: bool = False
+    use_pallas: Optional[bool] = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -101,7 +103,16 @@ class AxialAttention(nn.Module):
         k = qkv[..., gp // 2 : gp]
         v = qkv[..., gp:]
 
-        if self.use_pallas and not train:
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            # auto: fused kernel on TPU for the positional variants
+            # (measured 1.54-1.66x); wopos has too little work per step
+            # to beat XLA (0.83x) and CPU runs the XLA path for speed.
+            import jax
+
+            use_pallas = (jax.default_backend() != "cpu"
+                          and self.mode != "wopos")
+        if use_pallas and not train:
             out = self._fused_path(q, k, v, length, g, gp, ks)
             out = out.astype(dt)
             if self.width_axis:
@@ -235,7 +246,7 @@ class AxialBlock(nn.Module):
     base_width: int = 64
     mode: str = "base"
     expansion: int = 2
-    use_pallas: bool = False
+    use_pallas: Optional[bool] = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -278,7 +289,7 @@ class ResAxialAttentionUNet(nn.Module):
     s: float = 0.125
     groups: int = 8
     width_per_group: int = 64
-    use_pallas: bool = False
+    use_pallas: Optional[bool] = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -385,7 +396,7 @@ class MedTLoGo(nn.Module):
     groups: int = 8
     width_per_group: int = 64
     patch_size: int = 32
-    use_pallas: bool = False
+    use_pallas: Optional[bool] = None
     dtype: Any = jnp.float32
 
     @nn.compact

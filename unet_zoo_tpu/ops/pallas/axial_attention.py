@@ -4,28 +4,37 @@ The reference's axial attention (ref: unet_zoo/models/medt_net.py:50-123)
 expands into seven+ HBM-round-trip tensors of shape [B*W, L, L, g]
 (qk/qr/kr outer products, BN'd concat, softmax, sv/sve) whose contraction
 dims are tiny (1-8), so XLA executes it bandwidth-bound. This kernel keeps
-every [L, L] intermediate in VMEM: HBM traffic drops to the q/k/v loads
-and the output store.
+every intermediate in VMEM as [g, L, L] f32 tensors — the key (j) axis
+fills all 128 lanes and the small group/head dims ride the sublanes, so
+the whole step is dense VPU work with no HBM round-trips.
 
 Eval-mode only: BatchNorm with running statistics is an affine transform,
-so the caller folds BN (and the 'gated' variant's learnable scalar gates)
-into per-channel scale/shift vectors. Training keeps the XLA path (batch
-statistics need cross-block reductions).
+and the attention algebra folds ALL of it into host-side prescaling:
 
-Semantics match models/medt_net.py::AxialAttention exactly:
-    qk[i,j,g] = sum_c q[i,g,c] k[j,g,c]
-    qr[i,j,g] = sum_c q[i,g,c] q_emb[c,i,j]
-    kr[i,j,g] = sum_c k[j,g,c] k_emb[c,j,i]
-    sim = softmax_j(affine(qk) + affine(qr) + affine(kr))
-    sv[i,g,p]  = sum_j sim[i,j,g] v[j,g,p]
-    sve[i,g,p] = sum_j sim[i,j,g] v_emb[p,i,j]
-    out = affine(sv) + affine(sve)        # [N, L, g*p]
+* similarity-BN shifts are constant over keys, and softmax is
+  shift-invariant → they vanish;
+* similarity-BN scales (and the 'gated' variant's f_qr/f_kr) multiply one
+  of q/k per term → prescale q (twice: qk and qr paths) and k (kr path);
+* output-BN on sv: softmax rows sum to 1, so sv of (v*a + b) equals
+  sv(v)*a + b → fold scale AND both output biases into v;
+* output-BN's sve scale (and f_sv/f_sve): per-group scale on the
+  group-shared v_emb → materialize prescaled copies [gp, g, L, L].
+
+The kernel body is pure tensor math with no scalar parameters:
+    sim = softmax_j(q0 k + qr(q1) + kr(k2))          # [g, L, L]
+    out[p] = sum_j sim * v2[p] + sum_j sim * ve[p]    # [g, L] per p
+Training keeps the XLA path (batch statistics need global reductions).
+
+Layout contract (Mosaic supports only leading-unit-dim shape casts):
+every host array is passed minor-to-major as [..., g, L] so per-index
+loads squeeze leading dims only. Loops over c (<=8) and gp (<=16) are
+unrolled in Python; the n loop is the grid.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -33,49 +42,40 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(q_ref, k_ref, v_ref, qe_ref, ke_ref, ve_ref, ssc_ref, ssh_ref,
-            osc_ref, osh_ref, out_ref, *, nb: int, length: int, groups: int,
-            cdim: int, gp: int, wopos: bool):
+def _kernel(q0_ref, q1_ref, k_ref, k2_ref, v2_ref, qe_ref, ke_ref, veg_ref,
+            out_ref, *, cdim: int, gp: int, groups: int, length: int,
+            wopos: bool):
     f32 = jnp.float32
+    g, L = groups, length
 
-    def one_n(n, _):
-        for gi in range(groups):
-            q = q_ref[n, :, gi, :].astype(f32)          # [L, c]
-            k = k_ref[n, :, gi, :].astype(f32)          # [L, c]
-            v = v_ref[n, :, gi, :].astype(f32)          # [L, gp]
+    # sim[g, i, j] = sum_c q0[c, g, i] * k[c, g, j]  (+ position terms)
+    sim = (q0_ref[0, 0].astype(f32)[:, :, None]
+           * k_ref[0, 0].astype(f32)[:, None, :])
+    for ci in range(1, cdim):
+        sim += (q0_ref[0, ci].astype(f32)[:, :, None]
+                * k_ref[0, ci].astype(f32)[:, None, :])
+    if not wopos:
+        for ci in range(cdim):
+            # qr[g,i,j] = sum_c q1[c,g,i] * q_emb[c,i,j]
+            sim += (q1_ref[0, ci].astype(f32)[:, :, None]
+                    * qe_ref[ci].astype(f32)[None, :, :])
+            # kr[g,i,j] = sum_c k2[c,g,j] * k_emb[c,j,i] — note the
+            # transposed (j, i) indexing of k_emb; pass k_emb pre-
+            # transposed as keT[c, i, j] = k_emb[c, j, i] host-side.
+            sim += (k2_ref[0, ci].astype(f32)[:, None, :]
+                    * ke_ref[ci].astype(f32)[None, :, :])
 
-            qk = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=f32)             # [L(i), L(j)]
-            sim = qk * ssc_ref[0, gi] + ssh_ref[0, gi]
-            if not wopos:
-                qe = qe_ref[:].astype(f32)              # [c, L, L]
-                ke = ke_ref[:].astype(f32)
-                # qr[i,j] = sum_c q[i,c] * q_emb[c,i,j]
-                qr = jnp.sum(q.T[:, :, None] * qe, axis=0)
-                # kr[i,j] = sum_c k[j,c] * k_emb[c,j,i]
-                krT = jnp.sum(k.T[:, :, None] * ke, axis=0)  # [j, i]
-                sim = (sim + qr * ssc_ref[1, gi] + ssh_ref[1, gi]
-                       + krT.T * ssc_ref[2, gi] + ssh_ref[2, gi])
+    sim = sim - jnp.max(sim, axis=2, keepdims=True)
+    sim = jnp.exp(sim)
+    sim = sim / jnp.sum(sim, axis=2, keepdims=True)     # [g, L(i), L(j)]
 
-            sim = sim - jnp.max(sim, axis=1, keepdims=True)
-            sim = jnp.exp(sim)
-            sim = sim / jnp.sum(sim, axis=1, keepdims=True)
-
-            sv = jax.lax.dot_general(
-                sim, v, (((1,), (0,)), ((), ())),
-                preferred_element_type=f32)             # [L, gp]
-            out = sv * osc_ref[0, gi, :] + osh_ref[0, gi, :]
-            if not wopos:
-                ve = ve_ref[:].astype(f32)              # [gp, L, L]
-                # sve[i,p] = sum_j sim[i,j] * v_emb[p,i,j]
-                sve = jnp.sum(ve * sim[None, :, :], axis=2).T
-                out = out + sve * osc_ref[1, gi, :] + osh_ref[1, gi, :]
-
-            out_ref[n, :, gi, :] = out.astype(out_ref.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, nb, one_n, 0, unroll=True)
+    for p in range(gp):
+        # sv[g,i] = sum_j sim[g,i,j] * v2[p,g,j]
+        out = jnp.sum(sim * v2_ref[0, p].astype(f32)[:, None, :], axis=2)
+        if not wopos:
+            # sve[g,i] = sum_j sim[g,i,j] * veg[p,g,i,j]
+            out += jnp.sum(sim * veg_ref[p].astype(f32), axis=2)
+        out_ref[0, p] = out.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("wopos", "interpret", "nb"))
@@ -86,8 +86,8 @@ def fused_axial_attention(
     q_emb: Optional[jnp.ndarray],  # [c, L, L]
     k_emb: Optional[jnp.ndarray],  # [c, L, L]
     v_emb: Optional[jnp.ndarray],  # [gp, L, L]
-    sim_scale: jnp.ndarray,       # [3, g] (rows: qk, qr, kr)
-    sim_shift: jnp.ndarray,       # [3, g]
+    sim_scale: jnp.ndarray,       # [3, g] (rows: qk, qr, kr; gates folded)
+    sim_shift: jnp.ndarray,       # [3, g] (unused: softmax shift-invariant)
     out_scale: jnp.ndarray,       # [2, g, gp] (rows: sv, sve)
     out_shift: jnp.ndarray,       # [2, g, gp]
     wopos: bool = False,
@@ -96,50 +96,65 @@ def fused_axial_attention(
 ) -> jnp.ndarray:
     n, length, groups, cdim = q.shape
     gp = v.shape[-1]
-    while n % nb:
-        nb //= 2
-    nb = max(nb, 1)
+    del nb  # kept for API compatibility; the grid iterates over n
+    del sim_shift  # constant over keys j → softmax-invariant
 
     f32 = jnp.float32
+    # ---- host-side folding (see module docstring)
+    qf = q.astype(f32)
+    kf = k.astype(f32)
+    q0 = qf * sim_scale[0][None, None, :, None]
+    # sv scale + BOTH output biases fold into v (softmax rows sum to 1)
+    v2 = (v.astype(f32) * out_scale[0][None, None, :, :]
+          + out_shift[0][None, None, :, :]
+          + out_shift[1][None, None, :, :])
     if wopos:
-        # placeholder refs (never read) keep one kernel signature
-        q_emb = jnp.zeros((1, 1, 1), f32)
-        k_emb = jnp.zeros((1, 1, 1), f32)
-        v_emb = jnp.zeros((1, 1, 1), f32)
+        q1 = q0
+        k2 = kf
+        qe = jnp.zeros((1, 1, 1), f32)
+        keT = jnp.zeros((1, 1, 1), f32)
+        veg = jnp.zeros((gp, 1, 1, 1), f32)
+    else:
+        q1 = qf * sim_scale[1][None, None, :, None]
+        k2 = kf * sim_scale[2][None, None, :, None]
+        qe = q_emb.astype(f32)
+        keT = k_emb.astype(f32).transpose(0, 2, 1)      # [c, i, j]
+        # per-(p, g) prescaled v_emb copies (v_emb is group-shared, the
+        # output-BN scale is per (g, p)): veg[p, g, i, j]
+        veg = (v_emb.astype(f32)[:, None, :, :]
+               * out_scale[1].T[:, :, None, None])
+
+    # layout contract: [N, c|gp, g, L]
+    tcl = lambda a: a.transpose(0, 3, 2, 1)
 
     kernel = functools.partial(
-        _kernel, nb=nb, length=length, groups=groups, cdim=cdim, gp=gp,
+        _kernel, cdim=cdim, gp=gp, groups=groups, length=length,
         wopos=wopos)
-
-    grid = (n // nb,)
-    bspec = lambda shape: pl.BlockSpec(
-        (nb,) + shape, lambda i: (i,) + (0,) * len(shape),
+    grid = (n,)
+    bspec = lambda mid: pl.BlockSpec(
+        (1, mid, groups, length), lambda i: (i, 0, 0, 0),
         memory_space=pltpu.VMEM)
     const = lambda arr: pl.BlockSpec(
         arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM)
 
+    dt = q.dtype
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            bspec(q.shape[1:]),
-            bspec(k.shape[1:]),
-            bspec(v.shape[1:]),
-            const(q_emb), const(k_emb), const(v_emb),
-            const(sim_scale), const(sim_shift),
-            const(out_scale), const(out_shift),
+            bspec(cdim), bspec(cdim), bspec(cdim), bspec(cdim), bspec(gp),
+            const(qe), const(keT), const(veg),
         ],
-        out_specs=bspec((length, groups, gp)),
-        out_shape=jax.ShapeDtypeStruct((n, length, groups, gp), q.dtype),
+        out_specs=bspec(gp),
+        out_shape=jax.ShapeDtypeStruct((n, gp, groups, length), dt),
         interpret=interpret,
-    )(q, k, v, q_emb.astype(f32), k_emb.astype(f32), v_emb.astype(f32),
-      sim_scale.astype(f32), sim_shift.astype(f32),
-      out_scale.astype(f32), out_shift.astype(f32))
-    return out.reshape(n, length, groups * gp)
+    )(tcl(q0).astype(dt), tcl(q1).astype(dt), tcl(kf).astype(dt),
+      tcl(k2).astype(dt), tcl(v2), qe, keT, veg)
+    # [N, gp, g, L] → [N, L, g, gp] → [N, L, g*gp]
+    return out.transpose(0, 3, 2, 1).reshape(n, length, groups * gp)
 
 
-def fold_bn_eval(scale, bias, mean, var, eps: float = 1e-5
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def fold_bn_eval(scale, bias, mean, var, eps: float = 1e-5):
     """BN with running stats → (a, b) such that BN(x) = x*a + b."""
     a = scale * jax.lax.rsqrt(var + eps)
     return a, bias - mean * a

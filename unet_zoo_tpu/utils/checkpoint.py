@@ -25,11 +25,18 @@ _EXTRA_FILE = "extra.json"
 
 
 def _to_host(tree: Any) -> Any:
+    if jax.process_count() > 1:
+        # multi-host: leave (possibly non-addressable) global jax.Arrays
+        # in place — orbax saves sharded arrays with every process
+        # contributing its shards; device_get would throw on them.
+        return tree
     return jax.tree_util.tree_map(jax.device_get, tree)
 
 
 def save_checkpoint(path: str, payload: Dict[str, Any]) -> None:
-    """Write ``payload`` to ``path``: array subtrees via orbax, the rest as JSON."""
+    """Write ``payload`` to ``path``: array subtrees via orbax, the rest as
+    JSON. Multi-host safe: every process participates in the orbax save;
+    only the primary writes the JSON sidecar."""
     path = os.path.abspath(path)
     arrays = {k: payload[k] for k in _ARRAY_KEYS if k in payload}
     extra = {k: v for k, v in payload.items() if k not in _ARRAY_KEYS}
@@ -37,8 +44,13 @@ def save_checkpoint(path: str, payload: Dict[str, Any]) -> None:
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(os.path.join(path, "arrays"), _to_host(arrays), force=True)
     ckptr.wait_until_finished()
-    with open(os.path.join(path, _EXTRA_FILE), "w") as f:
-        json.dump(extra, f)
+    if jax.process_index() == 0:
+        with open(os.path.join(path, _EXTRA_FILE), "w") as f:
+            json.dump(extra, f)
+    if jax.process_count() > 1:
+        from unet_zoo_tpu.parallel.multihost import sync_global_devices
+
+        sync_global_devices("checkpoint_save")
 
 
 def load_checkpoint(path: str, target: Optional[Dict[str, Any]] = None

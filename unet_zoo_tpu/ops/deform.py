@@ -4,20 +4,29 @@ There is no library deform_conv on TPU (the reference calls
 torchvision.ops.deform_conv2d, ref: unet_zoo/models/wranet.py:71-78), so
 this implements it natively.
 
-TPU gathers read at 4KB tile granularity, so gathering single [C]-wide
-pixel rows is heavily read-amplified (profiled: ~8x). The kernel therefore
-packs each pixel's 2x2 neighborhood into one [4C] row up front (two
-rolled concats over a 1-pixel zero-padded input) — then each of the K
-kernel taps needs ONE gather whose row contains all four bilinear
-corners, instead of four narrow gathers. Sampling positions are clamped
-to the padded frame, which reproduces torchvision's zero-padding
-semantics exactly (out-of-range samples interpolate against zeros), so no
-per-corner validity masks are needed. The per-tap samples accumulate into
-an im2col buffer contracted against the weights with a single MXU matmul.
+Performance shape (all measured on v5e, wranet decoder sizes):
+
+* TPU gathers read at tile granularity, so gathering single [C]-wide
+  pixel rows is heavily read-amplified. Each pixel's 2x2 neighborhood is
+  packed into one [4C] row up front (two rolled concats over a 1-pixel
+  zero-padded input), so each kernel tap needs ONE gather whose row holds
+  all four bilinear corners. Clamping sample positions to the padded
+  frame reproduces torchvision's zero-padding semantics exactly.
+* Gather throughput collapses ~5x (650 -> 138 GB/s) when the gather
+  source exceeds on-chip working-set size; the whole per-image pipeline
+  therefore runs under ``lax.map`` over the batch, so every gather reads
+  a single image's [Hp*Wp, 4C] table. This also caps the im2col
+  intermediate at one image ([N, K*C] instead of [B, N, K*C]).
+* Sampled values and bilinear weights contract in the INPUT dtype with
+  f32 accumulation: converting the gather outputs to f32 cost more than
+  the gathers themselves at bf16 (9x26ms converts + 9x19ms f32 spills vs
+  9x64ms gathers at b16/256px). float32 inputs keep the exact f32 path
+  (golden tests vs the numpy reference, tests/test_deform.py).
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -57,39 +66,46 @@ def deform_conv2d(
     base_y = (jnp.arange(ho) * stride - padding).astype(jnp.float32)
     base_x = (jnp.arange(wo) * stride - padding).astype(jnp.float32)
 
-    off = offset.astype(jnp.float32)
-    cols = []
-    for ki in range(k):
-        dy, dx = divmod(ki, kw)
-        # sampling position in padded coordinates, clamped to the frame
-        py = jnp.clip(base_y[None, :, None] + dy * dilation
-                      + off[..., 2 * ki], -1.0, float(h)) + 1.0
-        px = jnp.clip(base_x[None, None, :] + dx * dilation
-                      + off[..., 2 * ki + 1], -1.0, float(w)) + 1.0
-        y0 = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, hp - 2)
-        x0 = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, wp - 2)
-        wy1 = (py - y0.astype(jnp.float32))[..., None]
-        wx1 = (px - x0.astype(jnp.float32))[..., None]
+    cdt = x.dtype
+    wmat = weight.astype(cdt).reshape(k * c, o)
 
-        idx = (y0 * wp + x0).reshape(b, ho * wo, 1)
-        g = jnp.take_along_axis(quad, idx, axis=1).astype(jnp.float32)
-        g = g.reshape(b, ho, wo, 4, c)
+    def one_image(args):
+        quad_i, off_i, mask_i = args  # [Hp*Wp, 4C], [Ho, Wo, 2K], [Ho, Wo, K]
+        off_i = off_i.astype(jnp.float32)
+        cols = []
+        for ki in range(k):
+            dy, dx = divmod(ki, kw)
+            # sampling position in padded coordinates, clamped to the frame
+            py = jnp.clip(base_y[:, None] + dy * dilation
+                          + off_i[..., 2 * ki], -1.0, float(h)) + 1.0
+            px = jnp.clip(base_x[None, :] + dx * dilation
+                          + off_i[..., 2 * ki + 1], -1.0, float(w)) + 1.0
+            y0 = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, hp - 2)
+            x0 = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, wp - 2)
+            wy1 = (py - y0.astype(jnp.float32))
+            wx1 = (px - x0.astype(jnp.float32))
 
-        # corner weights as one [.., 4] tensor -> single contraction (avoids
-        # four strided slices of the 5-D gather output, which cost layout
-        # copies on TPU)
-        m = mask[..., ki].astype(jnp.float32)
-        cw = jnp.stack([
-            (1 - wy1[..., 0]) * (1 - wx1[..., 0]) * m,
-            (1 - wy1[..., 0]) * wx1[..., 0] * m,
-            wy1[..., 0] * (1 - wx1[..., 0]) * m,
-            wy1[..., 0] * wx1[..., 0] * m,
-        ], axis=-1)                                          # [B,Ho,Wo,4]
-        cols.append(jnp.einsum("bhwqc,bhwq->bhwc", g, cw))
+            idx = (y0 * wp + x0).reshape(ho * wo)
+            g = jnp.take(quad_i, idx, axis=0).reshape(ho, wo, 4, c)
 
-    col = jnp.concatenate(cols, axis=-1)                     # [B,Ho,Wo,K*C]
-    wmat = weight.astype(jnp.float32).reshape(k * c, o)
-    out = jnp.einsum("bhwi,io->bhwo", col, wmat)
+            # corner weights as one [.., 4] tensor -> single contraction
+            # (avoids four strided slices of the gather output, which cost
+            # layout copies on TPU)
+            m = mask_i[..., ki].astype(jnp.float32)
+            cw = jnp.stack([
+                (1 - wy1) * (1 - wx1) * m,
+                (1 - wy1) * wx1 * m,
+                wy1 * (1 - wx1) * m,
+                wy1 * wx1 * m,
+            ], axis=-1).astype(cdt)                          # [Ho,Wo,4]
+            cols.append(jnp.einsum("hwqc,hwq->hwc", g, cw,
+                                   preferred_element_type=cdt))
+
+        col = jnp.concatenate(cols, axis=-1)                 # [Ho,Wo,K*C]
+        return jnp.einsum("hwi,io->hwo", col, wmat,
+                          preferred_element_type=jnp.float32)
+
+    out = jax.lax.map(one_image, (quad, offset, mask))
     if bias is not None:
         out = out + bias.astype(jnp.float32)
     return out.astype(x.dtype)

@@ -66,3 +66,23 @@ def test_bone_dataset_loading(tmp_path, size):
     img_a, mask_a, _ = ds_a[0]
     assert img_a.shape == (size, size, 3) and mask_a.shape == (size, size, 1)
     assert set(np.unique(mask_a)) <= {0.0, 1.0}
+
+
+def test_loader_process_pool_matches_threads():
+    """Explicit process-pool decode returns identical batches to threads."""
+    from unet_zoo_tpu.data.datasets import SyntheticDataset
+    from unet_zoo_tpu.data.loader import DataLoader
+
+    import numpy as np
+
+    ds = SyntheticDataset(12, 16)
+    lt = DataLoader(ds, batch_size=4, num_workers=2, use_processes=False)
+    lp = DataLoader(ds, batch_size=4, num_workers=2, use_processes=True)
+    try:
+        for (ia, ma, pa), (ib, mb, pb) in zip(lt, lp):
+            np.testing.assert_array_equal(ia, ib)
+            np.testing.assert_array_equal(ma, mb)
+            assert pa == pb
+    finally:
+        lt.close()
+        lp.close()

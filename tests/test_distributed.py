@@ -21,6 +21,7 @@ def test_mesh_creation():
     assert mesh.axis_names == ("data", "model")
 
 
+@pytest.mark.slow
 def test_sharded_train_step_matches_single_device():
     model = create_model("unet")
     rng = np.random.default_rng(0)
@@ -83,6 +84,7 @@ def test_fsdp_state_sharding_trains():
     assert not leaf2.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_shard_map_train_step():
     """Explicit-collective step runs and agrees with the jit-SPMD step on
     forward metrics for a BN-free config... unet has BN, so compare the

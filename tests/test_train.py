@@ -150,6 +150,7 @@ def test_train_model_loop_writes_checkpoints(tmp_path):
     logger.close()
 
 
+@pytest.mark.slow
 def test_train_model_resume(tmp_path):
     from unet_zoo_tpu.train.loop import train_model
 

@@ -9,6 +9,12 @@ from unet_zoo_tpu.parallel.mesh import (
     replicate_state,
 )
 from unet_zoo_tpu.parallel.fsdp import fsdp_sharding_for, shard_state_fsdp
+from unet_zoo_tpu.parallel.spatial import (
+    halo_exchange_h,
+    make_spatial_fn,
+    spatial_conv2d,
+    spatial_sharding,
+)
 from unet_zoo_tpu.parallel.multihost import (
     fully_replicate_to_host,
     global_mesh,
@@ -35,4 +41,8 @@ __all__ = [
     "make_global_batch",
     "sync_global_devices",
     "fully_replicate_to_host",
+    "halo_exchange_h",
+    "make_spatial_fn",
+    "spatial_conv2d",
+    "spatial_sharding",
 ]

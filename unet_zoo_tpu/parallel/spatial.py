@@ -1,0 +1,120 @@
+"""Spatial (height-dim) sharding with halo exchange.
+
+SURVEY.md §5: when one image exceeds a chip, "the natural TPU analogue is
+spatial sharding of the H/W dims under shard_map with halo exchange".
+This module provides that toolkit: convolutions and pools whose inputs
+are sharded over the mesh's ``data`` axis along H, exchanging boundary
+rows over ICI with ``jax.lax.ppermute`` before each local stencil op.
+
+Semantics are exact: ``ppermute`` fills absent sources with zeros, which
+is precisely the zero-padding a SAME conv expects at the image border,
+so shard 0's top halo and shard N-1's bottom halo need no special case.
+
+Used via ``shard_map`` (see ``spatial_conv_stack`` and
+tests/test_spatial.py for the composition pattern): arrays flow as
+[B, H_local, W, C] shards, collectives ride the ``data`` axis.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """[B, H, W, C] arrays sharded along H over the 'data' axis."""
+    return NamedSharding(mesh, P(None, "data", None, None))
+
+
+def halo_exchange_h(x: jnp.ndarray, up: int, down: int,
+                    axis_name: str = "data") -> jnp.ndarray:
+    """Concatenate ``up`` rows from the previous shard and ``down`` rows
+    from the next shard onto a [B, H_local, W, C] block.
+
+    Missing neighbors (global image border) contribute zeros — identical
+    to SAME zero padding.
+    """
+    n = jax.lax.axis_size(axis_name)
+    parts = []
+    if up:
+        # receive the LAST `up` rows of shard i-1 (send i -> i+1)
+        send = x[:, -up:]
+        recv = jax.lax.ppermute(send, axis_name,
+                                perm=[(i, i + 1) for i in range(n - 1)])
+        parts.append(recv)
+    parts.append(x)
+    if down:
+        # receive the FIRST `down` rows of shard i+1 (send i -> i-1)
+        send = x[:, :down]
+        recv = jax.lax.ppermute(send, axis_name,
+                                perm=[(i + 1, i) for i in range(n - 1)])
+        parts.append(recv)
+    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else x
+
+
+def spatial_conv2d(x: jnp.ndarray, kernel: jnp.ndarray,
+                   padding: int = 1, axis_name: str = "data") -> jnp.ndarray:
+    """Stride-1 conv over an H-sharded [B, H_local, W, C] block.
+
+    The H padding comes from the halo exchange (neighbor rows / border
+    zeros); W keeps plain zero padding. Output H_local == input H_local.
+    """
+    kh = kernel.shape[0]
+    ph = (kh - 1) // 2 if padding else 0
+    if ph:
+        x = halo_exchange_h(x, ph, ph, axis_name)
+    pw = (kernel.shape[1] - 1) // 2 if padding else 0
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1),
+        padding=((0, 0), (pw, pw)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def spatial_max_pool2(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2 stride-2 max pool on an H-sharded block. Requires even
+    H_local (window never straddles a shard boundary — pick shard counts
+    dividing H at every pooled level)."""
+    if x.shape[1] % 2:
+        raise ValueError(f"H_local={x.shape[1]} must be even")
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+
+
+def spatial_upsample2(x: jnp.ndarray) -> jnp.ndarray:
+    """2x nearest upsample (shard-local; no halo needed)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+def make_spatial_fn(mesh: Mesh, fn: Callable, axis_name: str = "data"):
+    """Wrap a shard-local function (built from the ops above) into a
+    jitted global-array program: inputs/outputs H-sharded over the mesh."""
+    from jax.experimental.shard_map import shard_map
+
+    spec = P(None, axis_name, None, None)
+    mapped = shard_map(fn, mesh=mesh, in_specs=(spec, P()),
+                       out_specs=spec, check_rep=False)
+    return jax.jit(mapped)
+
+
+def spatial_conv_stack(mesh: Mesh, kernels: Sequence[jnp.ndarray],
+                       axis_name: str = "data"):
+    """Demo composition: a ReLU conv stack over an H-sharded image.
+
+    Returns a jitted fn(x_global, kernels_tuple) running every conv with
+    halo exchange; numerically identical to the unsharded stack.
+    """
+
+    def local(x, ks):
+        for i, k in enumerate(ks):
+            x = spatial_conv2d(x, k, padding=1, axis_name=axis_name)
+            if i + 1 < len(ks):
+                x = jax.nn.relu(x)
+        return x
+
+    return make_spatial_fn(mesh, local, axis_name)

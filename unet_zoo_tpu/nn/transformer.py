@@ -95,15 +95,50 @@ class SRAttention(nn.Module):
 
 
 class DWConv(nn.Module):
-    """3x3 depthwise conv over NHWC features (ref: unext.py:27-34)."""
+    """3x3 depthwise conv over NHWC features (ref: unext.py:27-34).
+
+    ``use_pallas=True`` routes through the Pallas stencil kernel
+    (ops/pallas/depthwise.py) with nn.Conv's parameter surface. Default
+    off: although XLA's depthwise lowering profiles ~12x off bandwidth
+    in isolation, swapping it in-model LOST ~20% (unext_s 3450 -> 2730
+    img/s) — the pallas_call breaks XLA's surrounding elementwise
+    fusions and pays an unfused pad copy. Kept as an op for contexts
+    without those fusions."""
 
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
+        if self.use_pallas:
+            from unet_zoo_tpu.ops.pallas.depthwise import (
+                depthwise_conv2d,
+                use_pallas_dw,
+            )
+
+            if use_pallas_dw(x.shape, 3):
+                kern, bias = _DWParams(c, name="dwconv")()
+                return depthwise_conv2d(
+                    x.astype(self.dtype), kern.astype(self.dtype),
+                    bias.astype(self.dtype), k=3)
         return nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)),
                        feature_group_count=c, dtype=self.dtype, name="dwconv")(x)
+
+
+class _DWParams(nn.Module):
+    """Parameter holder matching nn.Conv(feature_group_count=C):
+    'kernel' [3,3,1,C], 'bias' [C]."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, 1, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return kernel[:, :, 0, :], bias
 
 
 class DWConvMLP(nn.Module):

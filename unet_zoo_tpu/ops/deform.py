@@ -57,11 +57,18 @@ def deform_conv2d(
     xf = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     hp, wp = h + 2, w + 2
 
-    # pack the 2x2 neighborhood of every padded pixel into one row:
-    # quad[:, y*Wp+x] = [xp(y,x) | xp(y,x+1) | xp(y+1,x) | xp(y+1,x+1)]
+    # pack the 2x2 neighborhood of every padded pixel into one row —
+    # stacked on its OWN axis so the gather output is already
+    # [N, 4, C] (profiled: the [N, 4C]→[Ho,Wo,4,C] reshape after the
+    # gather was a 14ms relayout per tap):
+    # quad[:, y*Wp+x] = [xp(y,x), xp(y,x+1), xp(y+1,x), xp(y+1,x+1)]
     flat = xf.reshape(b, hp * wp, c)
-    pair = jnp.concatenate([flat, jnp.roll(flat, -1, axis=1)], axis=-1)
-    quad = jnp.concatenate([pair, jnp.roll(pair, -wp, axis=1)], axis=-1)
+    quad = jnp.stack([
+        flat,
+        jnp.roll(flat, -1, axis=1),
+        jnp.roll(flat, -wp, axis=1),
+        jnp.roll(flat, -(wp + 1), axis=1),
+    ], axis=2)                                               # [B, N, 4, C]
 
     base_y = (jnp.arange(ho) * stride - padding).astype(jnp.float32)
     base_x = (jnp.arange(wo) * stride - padding).astype(jnp.float32)
@@ -85,8 +92,13 @@ def deform_conv2d(
             wy1 = (py - y0.astype(jnp.float32))
             wx1 = (px - x0.astype(jnp.float32))
 
+            # y0 ∈ [0, hp-2], x0 ∈ [0, wp-2] ⇒ idx < hp*wp by construction;
+            # mode="clip" clamps the (tiny) index vector instead of the
+            # default fill mode's select pass over the gathered values
+            # (profiled at 13ms/tap on the [N, 4C] rows)
             idx = (y0 * wp + x0).reshape(ho * wo)
-            g = jnp.take(quad_i, idx, axis=0).reshape(ho, wo, 4, c)
+            g = jnp.take(quad_i, idx, axis=0,
+                         mode="clip").reshape(ho, wo, 4, c)
 
             # corner weights as one [.., 4] tensor -> single contraction
             # (avoids four strided slices of the gather output, which cost

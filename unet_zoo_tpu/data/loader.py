@@ -36,6 +36,15 @@ _worker_dataset = None
 def _proc_init(ds_bytes: bytes) -> None:
     global _worker_dataset
     _worker_dataset = pickle.loads(ds_bytes)
+    # Each worker unpickles an identical dataset copy; decorrelate the
+    # augmentation streams by folding the worker pid into the RNG seed
+    # (otherwise every worker would emit the same flip sequence).
+    import os
+
+    rng = getattr(_worker_dataset, "_aug_rng", None)
+    if rng is not None:
+        _worker_dataset._aug_rng = np.random.default_rng(
+            [os.getpid(), 0x5EED])
 
 
 def _proc_get(index: int):
@@ -82,6 +91,9 @@ class DataLoader:
             want_procs = self.num_workers > 1 and cores > 1
         if want_procs:
             try:
+                # NOTE: with cache=True every process worker builds its own
+                # decoded cache (RAM x num_workers); caching is most useful
+                # with the in-process thread pool (use_processes=False).
                 ds_bytes = pickle.dumps(self.dataset)
                 # spawn: never fork a process that may hold JAX/TPU state
                 pool = concurrent.futures.ProcessPoolExecutor(

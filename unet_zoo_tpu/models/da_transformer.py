@@ -232,8 +232,14 @@ class DANetHead(nn.Module):
             DACam(dtype=dt, name="sc")(feat2), inter, "conv52")
 
         sasc_output = head(sa_conv + sc_conv, "conv8")
-        if return_aux:  # the ref computes (but discards) per-branch heads
-            return sasc_output, head(sa_conv, "conv6"), head(sc_conv, "conv7")
+        # The ref constructs conv6/conv7 unconditionally (and computes but
+        # discards the branch heads); declare them always so the parameter
+        # surface does not depend on the call flag — variables from a
+        # default init apply cleanly with return_aux=True.
+        sa_output = head(sa_conv, "conv6")
+        sc_output = head(sc_conv, "conv7")
+        if return_aux:
+            return sasc_output, sa_output, sc_output
         return sasc_output
 
 

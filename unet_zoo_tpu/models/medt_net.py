@@ -107,10 +107,11 @@ class AxialAttention(nn.Module):
         if use_pallas is None:
             # auto: fused kernel on TPU for the positional variants
             # (measured 1.54-1.66x); wopos has too little work per step
-            # to beat XLA (0.83x) and CPU runs the XLA path for speed.
+            # to beat XLA (0.83x). Only TPU lowers the Mosaic kernel —
+            # every other backend (cpu, gpu, ...) takes the XLA path.
             import jax
 
-            use_pallas = (jax.default_backend() != "cpu"
+            use_pallas = (jax.default_backend() == "tpu"
                           and self.mode != "wopos")
         if use_pallas and not train:
             out = self._fused_path(q, k, v, length, g, gp, ks)
@@ -189,7 +190,7 @@ class AxialAttention(nn.Module):
             fused_axial_attention,
         )
 
-        interpret = jax.default_backend() == "cpu"
+        interpret = jax.default_backend() != "tpu"
         wopos = self.mode == "wopos"
         if wopos:
             s_sc, s_bi, s_mu, s_va = _FoldedBN(g, name="bn_similarity")()

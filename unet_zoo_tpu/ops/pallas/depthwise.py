@@ -102,7 +102,9 @@ def depthwise_conv2d(x: jnp.ndarray, kernel: jnp.ndarray,
 def use_pallas_dw(x_shape, k: int) -> bool:
     """Heuristic gate: TPU backend, stride-1 SAME shapes the kernel
     supports, and a per-channel tile that fits VMEM."""
-    if jax.default_backend() == "cpu":
+    if jax.default_backend() != "tpu":
+        # only TPU lowers the Mosaic kernel (pltpu.VMEM); cpu/gpu/other
+        # backends must take the XLA path
         return False
     b, h, w, c = x_shape
     pad = (k - 1) // 2

@@ -180,8 +180,12 @@ def train_model(
         state = replicate_state(mesh, state)
         sharding = batch_sharding(mesh)
 
+    # on-device augmentation is a *placement* modifier of AUGMENT, not an
+    # independent switch: flips run in the train step only when both are on
+    # (host-side flips are disabled by the scripts in exactly that case)
     train_step = make_train_step(
-        model, augment=getattr(config, "AUGMENT_ON_DEVICE", False))
+        model, augment=(getattr(config, "AUGMENT", False)
+                        and getattr(config, "AUGMENT_ON_DEVICE", False)))
     eval_step = make_eval_step(model)
 
     train_losses: List[float] = []

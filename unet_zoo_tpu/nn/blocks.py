@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from unet_zoo_tpu.ops import (
@@ -203,18 +204,70 @@ class TransposedUp(nn.Module):
 
 class UpSampleUNet(nn.Module):
     """ConvTranspose(2,2) → pad-to-skip → concat[x, skip] → DoubleConv
-    (ref: unet_zoo/models/common_layers.py:97-116)."""
+    (ref: unet_zoo/models/common_layers.py:97-116).
+
+    Eval-mode forwards on TPU (auto, or forced via ``use_pallas``) run the
+    fused Pallas decoder kernel: ConvT + bias + concat + first conv + BN +
+    ReLU in one VMEM-resident pass (XLA's conv-transpose lowering is ~25%
+    SOL for these k2s2 shapes and the concat copies are pure overhead —
+    see ops/pallas/fused_up.py). The second ConvNormAct runs as a plain
+    XLA conv with the BN folded to a scale/bias epilogue. The parameter
+    tree is identical on both paths (init always takes the module path).
+    """
 
     features: int
     up_features: int  # = in_channels // 2 in the reference
     dtype: Dtype = jnp.float32
+    use_pallas: Optional[bool] = None  # None = auto (TPU + clean shapes)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skip: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from unet_zoo_tpu.ops.pallas.fused_up import use_fused_up
+
+        fused = self.use_pallas
+        if fused is None:
+            fused = use_fused_up(x.shape, skip.shape)
+        fused = fused and not train and not self.is_initializing()
+        if fused:
+            return self._fused(x, skip)
         x = TransposedUp(self.up_features, dtype=self.dtype)(x)
         x = pad_to_match(x, (skip.shape[1], skip.shape[2]))
         x = jnp.concatenate([x, skip], axis=-1)
         return DoubleConv(self.features, dtype=self.dtype)(x, train)
+
+    def _fused(self, x: jnp.ndarray, skip: jnp.ndarray) -> jnp.ndarray:
+        from unet_zoo_tpu.ops.pallas.fused_up import (
+            auto_co_block,
+            fold_conv_bn,
+            fused_up_concat_conv,
+        )
+
+        dt = self.dtype
+        v = self.variables
+        wt = v["params"]["TransposedUp_0"]["ConvTranspose_0"]
+        dc = v["params"]["DoubleConv_0"]
+        st = v["batch_stats"]["DoubleConv_0"]
+
+        def folded(i):
+            cna, s = dc[f"ConvNormAct_{i}"], st[f"ConvNormAct_{i}"]
+            scale, bias = fold_conv_bn(
+                cna["Conv_0"]["bias"], cna["BatchNorm_0"]["scale"],
+                cna["BatchNorm_0"]["bias"], s["BatchNorm_0"]["mean"],
+                s["BatchNorm_0"]["var"])
+            return cna["Conv_0"]["kernel"].astype(dt), scale, bias
+
+        w1, sc1, bi1 = folded(0)
+        cu = wt["kernel"].shape[-1]
+        cob = auto_co_block(x.shape[-1], cu, skip.shape[-1], self.features)
+        out = fused_up_concat_conv(
+            x, skip, wt["kernel"].astype(dt), wt["bias"], w1, sc1, bi1,
+            co_block=cob)
+
+        w2, sc2, bi2 = folded(1)
+        z = jax.lax.conv_general_dilated(
+            out, w2, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return nn.relu(z.astype(jnp.float32) * sc2 + bi2).astype(dt)
 
 
 class UpBilinear(nn.Module):

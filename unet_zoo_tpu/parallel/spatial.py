@@ -91,6 +91,69 @@ def spatial_upsample2(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(b, 2 * h, 2 * w, c)
 
 
+def spatial_conv2d_s2(x: jnp.ndarray, kernel: jnp.ndarray,
+                      axis_name: str = "data") -> jnp.ndarray:
+    """Stride-2 SAME(torch p=1) conv over an H-sharded block.
+
+    Requires even H_local. Output row o (global 2o) reads global rows
+    [2o-1, 2o+1]; with a (1,1) halo the local window offsets become
+    uniform, so one strided lax conv covers every shard.
+    """
+    if x.shape[1] % 2:
+        raise ValueError(f"H_local={x.shape[1]} must be even")
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    ph, pw = (kh - 1) // 2, (kw - 1) // 2
+    x = halo_exchange_h(x, ph, ph, axis_name)
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(2, 2),
+        padding=((0, 0), (pw, pw)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def spatial_conv_transpose2x2(x: jnp.ndarray,
+                              kernel: jnp.ndarray) -> jnp.ndarray:
+    """ConvTranspose(k=2, s=2) on an H-sharded block — k == s means no
+    tap overlap, so the op is purely shard-local: out rows [2i, 2i+1] of
+    shard-local row i land on the same shard. Kernel is the flax
+    ConvTranspose [2, 2, Cin, Cu] layout."""
+    return jax.lax.conv_transpose(
+        x, kernel, (2, 2), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def spatial_upsample2_bilinear(x: jnp.ndarray,
+                               axis_name: str = "data") -> jnp.ndarray:
+    """2x bilinear upsample (align_corners=False, i.e. half-pixel
+    centers) over an H-sharded block.
+
+    out[2i]   = 0.75*x[i] + 0.25*x[i-1]
+    out[2i+1] = 0.75*x[i] + 0.25*x[i+1]
+    with edge clamping at the global borders. The halo exchange zero-fills
+    missing neighbors, so the first/last shard substitute their own edge
+    row (clamp semantics) before interpolating. W is shard-local.
+    """
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    xh = halo_exchange_h(x, 1, 1, axis_name)  # [B, 1+H+1, W, C]
+    up_row = jnp.where(idx == 0, x[:, :1], xh[:, :1])
+    down_row = jnp.where(idx == n - 1, x[:, -1:], xh[:, -1:])
+    prev = jnp.concatenate([up_row, x[:, :-1]], axis=1)
+    nxt = jnp.concatenate([x[:, 1:], down_row], axis=1)
+    even = 0.75 * x + 0.25 * prev
+    odd = 0.75 * x + 0.25 * nxt
+    b, h, w, c = x.shape
+    rows = jnp.concatenate([even[:, :, None], odd[:, :, None]], axis=2)
+    rows = rows.reshape(b, 2 * h, w, c)
+    # W direction is local: same stencil along axis 2
+    left = jnp.concatenate([rows[:, :, :1], rows[:, :, :-1]], axis=2)
+    right = jnp.concatenate([rows[:, :, 1:], rows[:, :, -1:]], axis=2)
+    evenw = 0.75 * rows + 0.25 * left
+    oddw = 0.75 * rows + 0.25 * right
+    cols = jnp.concatenate([evenw[:, :, :, None], oddw[:, :, :, None]],
+                           axis=3)
+    return cols.reshape(b, 2 * h, 2 * w, c)
+
+
 def make_spatial_fn(mesh: Mesh, fn: Callable, axis_name: str = "data"):
     """Wrap a shard-local function (built from the ops above) into a
     jitted global-array program: inputs/outputs H-sharded over the mesh."""

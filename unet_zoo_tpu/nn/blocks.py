@@ -226,7 +226,7 @@ class UpSampleUNet(nn.Module):
 
         fused = self.use_pallas
         if fused is None:
-            fused = use_fused_up(x.shape, skip.shape)
+            fused = use_fused_up(x.shape, skip.shape, self.up_features)
         fused = fused and not train and not self.is_initializing()
         if fused:
             return self._fused(x, skip)

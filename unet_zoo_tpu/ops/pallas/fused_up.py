@@ -90,7 +90,7 @@ def _compute_fine(y, wt_ref, bt_ref, t, rows, h_fine, cu, cdt):
     return jnp.where(valid, fine, 0.0).astype(cdt)
 
 
-def _tap_dots(fine, skip, wc_ref, sc_ref, bi_ref, out_ref, rows, wf, c2):
+def _conv_dots(z3, wc_ref, sc_ref, bi_ref, out_ref, rows, wf):
     """The 3x3 conv as 3 fat matmuls + 2 output rotates.
 
     Sublane (W-dim) shifts of the *inputs* are a dead end on this Mosaic:
@@ -105,12 +105,6 @@ def _tap_dots(fine, skip, wc_ref, sc_ref, bi_ref, out_ref, rows, wf, c2):
     f32 output tile (32-bit rotates ARE supported) and their wrapped
     border column zeroed (the conv's W zero padding)."""
     co = out_ref.shape[-1]
-    pieces = []
-    for dy in range(3):
-        pieces.append(fine[dy: dy + rows])
-        pieces.append(skip[dy: dy + rows])
-    z3 = jnp.concatenate(pieces, axis=-1).reshape(rows * wf, 3 * c2)
-
     p = [jnp.dot(z3, wc_ref[k], preferred_element_type=jnp.float32)
          .reshape(rows, wf, co) for k in range(3)]
 
@@ -123,71 +117,76 @@ def _tap_dots(fine, skip, wc_ref, sc_ref, bi_ref, out_ref, rows, wf, c2):
     out_ref[:] = jnp.maximum(out, 0.0).astype(out_ref.dtype)
 
 
-def _kernel_dma(y_hbm, skip_hbm, wt_ref, bt_ref, wc_ref, sc_ref, bi_ref,
-                out_ref, y_buf, s_buf, sems, *,
-                n_tiles: int, rows: int, h_fine: int, cu: int):
-    """Fused decoder-stage kernel. Halo rows come from explicit row-range
-    DMAs (rows are the ref's major dim — unconstrained); the conv's W
-    taps never shift inputs at all (see _tap_dots).
+def _kernel_pipe(y_ref, s_ref, y_any, s_any, wt_ref, bt_ref, wc_ref,
+                 sc_ref, bi_ref, out_ref, z3_buf, yh, sh, sems, *,
+                 n_tiles: int, rows: int, h_fine: int, cu: int):
+    """Fused decoder-stage kernel, pipelined form.
 
-    Per (batch, row-tile, co-block) grid step:
-      1. DMA the halo'd y/skip row ranges HBM->VMEM (edge tiles copy only
-         in-image rows; out-of-image halo rows are masked to zero — they
-         are the conv's zero padding).
-      2. Compute the up-tile (matmul + VMEM interleave + bias + mask).
-      3. 3 fat MXU dots over the (dy, up|skip, c) channel stack + output
-         realign rotates + scale/bias/ReLU epilogue.
+    The bulk y/skip row tiles arrive as ordinary BlockSpec operands —
+    Pallas double-buffers them across grid steps, so HBM traffic overlaps
+    compute (the round-3 redesign: the manual whole-tile DMA version had
+    zero overlap and lost 2x at b128). Only the single halo row above and
+    below each tile is fetched by explicit row DMAs (rows are the ref's
+    major dim — unconstrained), with out-of-image rows masked to zero
+    (the conv's zero padding). The ConvT + interleave result is computed
+    once per (batch, tile) at co-block j==0 and cached in VMEM scratch
+    for the remaining co blocks.
     """
     b = pl.program_id(0)
     t = pl.program_id(1)
     rc = rows // 2
     hc = h_fine // 2
-    cdt = s_buf.dtype
-    _, wf, cs = s_buf.shape
+    cdt = s_ref.dtype
+    rows_, wf, cs = s_ref.shape
     c2 = cu + cs
 
-    def hbm_loads(op):
-        if n_tiles == 1:
-            op(y_hbm, y_buf, 0, 1, hc, sems.at[0])
-            op(skip_hbm, s_buf, 0, 1, h_fine, sems.at[1])
-        else:
-            @pl.when(t == 0)
-            def _():
-                op(y_hbm, y_buf, 0, 1, rc + 1, sems.at[0])
-                op(skip_hbm, s_buf, 0, 1, rows + 1, sems.at[1])
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        tc0 = jnp.maximum(t * rc - 1, 0)
+        tc1 = jnp.minimum(t * rc + rc, hc - 1)
+        tf0 = jnp.maximum(t * rows - 1, 0)
+        tf1 = jnp.minimum(t * rows + rows, h_fine - 1)
+        cps = [
+            pltpu.make_async_copy(y_any.at[b, pl.ds(tc0, 1)],
+                                  yh.at[pl.ds(0, 1)], sems.at[0]),
+            pltpu.make_async_copy(y_any.at[b, pl.ds(tc1, 1)],
+                                  yh.at[pl.ds(1, 1)], sems.at[1]),
+            pltpu.make_async_copy(s_any.at[b, pl.ds(tf0, 1)],
+                                  sh.at[pl.ds(0, 1)], sems.at[2]),
+            pltpu.make_async_copy(s_any.at[b, pl.ds(tf1, 1)],
+                                  sh.at[pl.ds(1, 1)], sems.at[3]),
+        ]
+        for c in cps:
+            c.start()
+        for c in cps:
+            c.wait()
+        # major-dim (row) concats are cheap; _compute_fine masks the fine
+        # halo rows that fall outside the image (incl. the ConvT bias)
+        y_full = jnp.concatenate([yh[0:1], y_ref[:], yh[1:2]], axis=0)
+        fine = _compute_fine(y_full, wt_ref, bt_ref, t, rows,
+                             h_fine, cu, cdt)
 
-            @pl.when(jnp.logical_and(t > 0, t < n_tiles - 1))
-            def _():
-                op(y_hbm, y_buf, t * rc - 1, 0, rc + 2, sems.at[0])
-                op(skip_hbm, s_buf, t * rows - 1, 0, rows + 2, sems.at[1])
+        # out-of-image skip halo rows are the conv's zero padding
+        sh_top = jnp.where(t == 0, jnp.zeros((), cdt), sh[0:1])
+        sh_bot = jnp.where(t == n_tiles - 1, jnp.zeros((), cdt), sh[1:2])
 
-            @pl.when(t == n_tiles - 1)
-            def _():
-                op(y_hbm, y_buf, t * rc - 1, 0, rc + 1, sems.at[0])
-                op(skip_hbm, s_buf, t * rows - 1, 0, rows + 1, sems.at[1])
+        # build the (dy, up|skip, c) contraction stack ONCE per tile —
+        # it is identical for every co block
+        pieces = []
+        for dy in range(3):
+            pieces.append(fine[dy: dy + rows])
+            if dy == 0:
+                pieces.append(jnp.concatenate(
+                    [sh_top, s_ref[0: rows - 1]], axis=0))
+            elif dy == 1:
+                pieces.append(s_ref[:])
+            else:
+                pieces.append(jnp.concatenate(
+                    [s_ref[1: rows], sh_bot], axis=0))
+        z3_buf[:] = jnp.concatenate(pieces, axis=-1).reshape(
+            rows * wf, 3 * c2)
 
-    def start(src, dst, src_lo, dst_lo, n, sem):
-        pltpu.make_async_copy(
-            src.at[b, pl.ds(src_lo, n)], dst.at[pl.ds(dst_lo, n)],
-            sem).start()
-
-    def wait(src, dst, src_lo, dst_lo, n, sem):
-        pltpu.make_async_copy(
-            src.at[b, pl.ds(src_lo, n)], dst.at[pl.ds(dst_lo, n)],
-            sem).wait()
-
-    hbm_loads(start)
-    hbm_loads(wait)
-
-    fine = _compute_fine(y_buf[:], wt_ref, bt_ref, t, rows, h_fine,
-                         cu, cdt)
-    # out-of-image skip halo rows are the conv's zero padding
-    i = jax.lax.broadcasted_iota(jnp.int32, (rows + 2, 1, 1), 0)
-    g = t * rows - 1 + i
-    valid = (g >= 0) & (g < h_fine)
-    skip = jnp.where(valid, s_buf[:], jnp.zeros((), cdt))
-
-    _tap_dots(fine, skip, wc_ref, sc_ref, bi_ref, out_ref, rows, wf, c2)
+    _conv_dots(z3_buf[:], wc_ref, sc_ref, bi_ref, out_ref, rows, wf)
 
 
 def fused_up_concat_conv(
@@ -221,16 +220,28 @@ def fused_up_concat_conv(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    cob = co_block or co
+    if co % cob:
+        raise ValueError(f"co_block {cob} must divide Co {co}")
+
     rows = min(row_block, hf)
     while hf % rows:
+        rows //= 2
+    # shrink the row tile until the resident VMEM set (weights + z3 stack
+    # + double-buffered in/out blocks + interleave temporaries) fits the
+    # 16MB scoped limit with headroom
+    def vmem_bytes(r):
+        c2 = cu + cs
+        z3 = r * wf * 3 * c2 * 2
+        blocks = 2 * ((r // 2) * wcs * cin + r * wf * cs + r * wf * cob) * 2
+        wts = (cin * 4 * cu + 3 * 3 * c2 * cob) * 2
+        temps = (r // 2 + 2) * wcs * 4 * cu * 4 + (r + 2) * wf * cu * 2
+        return z3 + blocks + wts + temps
+    while rows > 2 and vmem_bytes(rows) > 11 * 2**20:
         rows //= 2
     if rows < 2 or rows % 2:
         raise ValueError(f"fine height {hf} not tileable (rows={rows})")
     rc = rows // 2
-
-    cob = co_block or co
-    if co % cob:
-        raise ValueError(f"co_block {cob} must divide Co {co}")
 
     wt_pack = pack_convt_kernel(wt).astype(y.dtype)
     # [3(dx), 3(dy)*(Cu+Cs), Co]: per-dx fat contraction matrices whose
@@ -255,16 +266,28 @@ def fused_up_concat_conv(
         lambda bi_, t, j: (bi_, t, 0, j))
     out_shape = jax.ShapeDtypeStruct((b, hf, wf, co), skip.dtype)
 
-    kernel = functools.partial(_kernel_dma, rows=rows, h_fine=hf,
+    kernel = functools.partial(_kernel_pipe, rows=rows, h_fine=hf,
                                cu=cu, n_tiles=n_tiles)
     in_specs = [
+        # bulk tiles: auto-pipelined (double-buffered) BlockSpec operands
+        pl.BlockSpec(
+            (pl.Squeezed(), pl.Blocked(rc), pl.Blocked(wcs),
+             pl.Blocked(cin)),
+            lambda bi_, t, j: (bi_, t, 0, 0)),
+        pl.BlockSpec(
+            (pl.Squeezed(), pl.Blocked(rows), pl.Blocked(wf),
+             pl.Blocked(cs)),
+            lambda bi_, t, j: (bi_, t, 0, 0)),
+        # the same arrays again, unblocked, for the halo-row DMAs
         pl.BlockSpec(memory_space=pltpu.ANY),
         pl.BlockSpec(memory_space=pltpu.ANY),
     ] + weight_specs
     scratch = [
-        pltpu.VMEM((rc + 2, wcs, cin), y.dtype),
-        pltpu.VMEM((rows + 2, wf, cs), skip.dtype),
-        pltpu.SemaphoreType.DMA((2,)),
+        # cached contraction stack (identical across co blocks)
+        pltpu.VMEM((rows * wf, 3 * (cu + cs)), skip.dtype),
+        pltpu.VMEM((2, wcs, cin), y.dtype),           # y halo rows
+        pltpu.VMEM((2, wf, cs), skip.dtype),          # skip halo rows
+        pltpu.SemaphoreType.DMA((4,)),
     ]
 
     return pl.pallas_call(
@@ -275,7 +298,7 @@ def fused_up_concat_conv(
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(y, skip, wt_pack, bt2, wc3, sc2, bi2)
+    )(y, skip, y, skip, wt_pack, bt2, wc3, sc2, bi2)
 
 
 def auto_co_block(cin: int, cu: int, cs: int, co: int,
@@ -288,24 +311,42 @@ def auto_co_block(cin: int, cu: int, cs: int, co: int,
     return cob
 
 
-_AUTO_ENABLED = False  # flips to True once the kernel beats XLA on-chip
+_AUTO_ENABLED = False
+# Measured on v5e (round 3). STANDALONE at b32 the kernel wins big
+# (stage1 1.60x, stage2 2.49x, stage3 2.15x vs an XLA convT+concat+conv
+# chain) — but that is a latency artifact: at b128 every stage LOSES
+# (0.75x/0.88x/0.84x), and in-model bench.py went 1614 -> 1313 img/s.
+# Root cause (per-layer trace attribution, BENCH_NOTES round 3): XLA
+# fuses the skip-concat directly into the consumer conv's operands and
+# runs the 32-128px decoder conv1 stages at 99% of the bf16 roofline;
+# this kernel's fat dots reach only ~60-70% (VMEM interleave + z3-stack
+# copies + realign rotates on the critical path). Beating 99%-SOL XLA
+# convs is not possible from this formulation, so auto-enable stays OFF
+# and the kernel is kept as an opt-in (use_pallas=True) for the
+# latency/small-batch regime it actually wins.
 
 
-def use_fused_up(y_shape, skip_shape) -> bool:
-    """Gate: TPU backend and evenly-matched power-of-two-ish shapes the
-    kernel tiles cleanly (fallback path handles everything else).
+def use_fused_up(y_shape, skip_shape, up_features: Optional[int] = None) -> bool:
+    """Gate: TPU backend and shapes the kernel tiles cleanly (fallback
+    path handles everything else).
 
-    Auto-enable is OFF while the kernel is under development (Mosaic
-    compile pathologies under investigation — see module docstring);
-    force with UpSampleUNet(use_pallas=True)."""
+    Channel alignment: the VMEM W-interleave lane-slices the ConvT matmul
+    result at offsets of 2*Cu and the tap stack lane-concats Cu/Cs-sized
+    pieces — Mosaic requires 128-lane-aligned offsets for both (observed:
+    'unsupported shape cast' vector<...x128> -> <...x64> when Cu=64), so
+    Cu and Cs must be multiples of 128."""
     if not _AUTO_ENABLED:
         return False
     if jax.default_backend() != "tpu":
         return False
     _, hc, wcs, _ = y_shape
-    _, hf, wf, _ = skip_shape
+    _, hf, wf, cs = skip_shape
     if hf != 2 * hc or wf != 2 * wcs:
         return False
     if hf < 4 or hf % 4 or wf % 16:
+        return False
+    if cs % 128:
+        return False
+    if up_features is not None and up_features % 128:
         return False
     return True

@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Full-zoo throughput sweep -> BENCH_ALL.json.
+
+Runs ``bench.py`` once per (model, mode) in a fresh subprocess (so one
+model's failure or compile-cache state cannot poison the rest) and
+merges results into BENCH_ALL.json with separate ``fwd`` and ``train``
+columns. Resumable: existing entries are kept unless --force.
+
+BASELINE.json's metric is "fwd + train step" throughput, so the train
+column is first-class (VERDICT r2 item 4). Batch sizes follow the
+round-2 methodology: 32 default, 16 for the two memory-heavy members
+(wranet's deform-conv gathers, mmunet's full-res op soup).
+
+Usage: python scripts/bench_all.py [--mode fwd|train|both] [--force]
+       [--models unet,egeunet] [--out BENCH_ALL.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# (model -> batch) exceptions; 32 otherwise.
+SMALL_BATCH = {"wranet": 16, "mmunet": 16, "medt_logo": 16}
+TRAIN_SMALL_BATCH = {"wranet": 8, "mmunet": 8, "medt_logo": 8,
+                     "axialunet": 16, "gated": 16, "logo": 16, "medt": 16}
+
+
+def list_model_names():
+    sys.path.insert(0, REPO)
+    from unet_zoo_tpu.models import list_models
+    return list_models()
+
+
+def run_one(model: str, mode: str, batch: int, timeout: int = 1500):
+    cmd = [sys.executable, os.path.join(REPO, "bench.py"),
+           "--model", model, "--mode", mode, "--batch", str(batch),
+           "--nbatches", "8"]
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=timeout, cwd=REPO)
+    except subprocess.TimeoutExpired:
+        return None, "timeout"
+    if out.returncode != 0:
+        return None, (out.stderr or out.stdout)[-400:]
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)["value"], None
+            except (json.JSONDecodeError, KeyError):
+                continue
+    return None, "no JSON line in output"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="train", choices=["fwd", "train", "both"])
+    ap.add_argument("--force", action="store_true")
+    ap.add_argument("--models", default=None,
+                    help="comma-separated subset (default: all)")
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_ALL.json"))
+    args = ap.parse_args()
+
+    names = (args.models.split(",") if args.models else list_model_names())
+    modes = ["fwd", "train"] if args.mode == "both" else [args.mode]
+
+    data = {}
+    if os.path.exists(args.out):
+        data = json.load(open(args.out))
+    # migrate the round-2 flat schema {model: fwd_ips}
+    if data and "fwd" not in data:
+        data = {"_meta": data.pop("_meta", ""),
+                "fwd": {k: v for k, v in data.items() if not k.startswith("_")},
+                "train": {}}
+    data.setdefault("fwd", {})
+    data.setdefault("train", {})
+    data["_meta"] = (
+        "images/sec/chip, 256x256, bf16, scanned-batch methodology with "
+        "on-device data; v5e via tunneled backend. fwd: batch 32 "
+        "(wranet/mmunet/medt_logo 16). train: full train step "
+        "(fwd+bwd+AdamW+BN stats), batch 32 (memory-heavy members 8-16).")
+
+    for name in names:
+        for mode in modes:
+            if not args.force and name in data[mode]:
+                print(f"[skip] {name} {mode} = {data[mode][name]}", flush=True)
+                continue
+            batch = (TRAIN_SMALL_BATCH if mode == "train"
+                     else SMALL_BATCH).get(name, 32)
+            print(f"[run ] {name} {mode} b{batch} ...", flush=True)
+            val, err = run_one(name, mode, batch)
+            if val is None:
+                print(f"[FAIL] {name} {mode}: {err}", flush=True)
+                continue
+            data[mode][name] = val
+            print(f"[ ok ] {name} {mode} = {val}", flush=True)
+            with open(args.out, "w") as f:
+                json.dump(data, f, indent=1, sort_keys=True)
+
+    with open(args.out, "w") as f:
+        json.dump(data, f, indent=1, sort_keys=True)
+    done_f, done_t = len(data["fwd"]), len(data["train"])
+    print(f"done: {done_f} fwd rows, {done_t} train rows -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -8,7 +8,7 @@ and an edge feature module (EFM) fusing boundary cues at full resolution.
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import flax.linen as nn
 import jax
@@ -64,32 +64,48 @@ def _dwconv(f, k, dt, name):
 class MKBlock(nn.Module):
     """ConvNeXt-ish multi-kernel block (ref Block, :6-59): split channels
     into quarters; cascaded 3/5/7 depthwise convs with running additions;
-    4th quarter passthrough; BN + pointwise MLP (4x) + residual."""
+    4th quarter passthrough; BN + pointwise MLP (4x) + residual.
+
+    Eval-mode forwards on TPU route through the fused Pallas kernel
+    (ops/pallas/mkblock.py) when the shape qualifies: the whole base
+    block runs in one VMEM-resident pass in the W-lane layout XLA
+    already prefers here, fixing the ~5%-SOL pointwise dots
+    (BENCH_NOTES round 3). ``use_pallas`` forces it on/off."""
 
     dim: int
     external_attention: bool = False  # Block1 variant (ref :61-131)
     dtype: Any = jnp.float32
+    use_pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         dt = self.dtype
         q = self.dim // 4
-        shortcut = x
-        x1, x2, x3, x4 = jnp.split(x, 4, axis=-1)
 
-        x1 = _gelu(BatchNorm(train, dt, "norm1")(_dwconv(q, 3, dt, "dwconv1")(x1)))
-        x2 = _gelu(BatchNorm(train, dt, "norm2")(_dwconv(q, 5, dt, "dwconv2")(x1 + x2)))
-        x3 = _gelu(BatchNorm(train, dt, "norm3")(_dwconv(q, 7, dt, "dwconv3")(x2 + x3)))
+        from unet_zoo_tpu.ops.pallas.mkblock import use_fused_mkblock
+        fused = self.use_pallas
+        if fused is None:
+            fused = use_fused_mkblock(x.shape)
+        if fused and not train and not self.is_initializing():
+            x = self._fused(x)
+        else:
+            shortcut = x
+            x1, x2, x3, x4 = jnp.split(x, 4, axis=-1)
 
-        h = jnp.concatenate([x1, x2, x3, x4], axis=-1)
-        h = BatchNorm(train, dt, "norm4")(h)
-        h = nn.Dense(4 * self.dim, dtype=dt, name="pwconv1")(h)
-        h = _gelu(h)
-        h = nn.Dense(self.dim, dtype=dt, name="pwconv2")(h)
-        x = shortcut + h
+            x1 = _gelu(BatchNorm(train, dt, "norm1")(_dwconv(q, 3, dt, "dwconv1")(x1)))
+            x2 = _gelu(BatchNorm(train, dt, "norm2")(_dwconv(q, 5, dt, "dwconv2")(x1 + x2)))
+            x3 = _gelu(BatchNorm(train, dt, "norm3")(_dwconv(q, 7, dt, "dwconv3")(x2 + x3)))
+
+            h = jnp.concatenate([x1, x2, x3, x4], axis=-1)
+            h = BatchNorm(train, dt, "norm4")(h)
+            h = nn.Dense(4 * self.dim, dtype=dt, name="pwconv1")(h)
+            h = _gelu(h)
+            h = nn.Dense(self.dim, dtype=dt, name="pwconv2")(h)
+            x = shortcut + h
 
         if not self.external_attention:
             return x
+
 
         # external attention (ref :115-131): softmax over N then
         # L1-normalize over the k memory axis
@@ -106,6 +122,23 @@ class MKBlock(nn.Module):
         h = nn.Conv(c, (1, 1), use_bias=False, dtype=dt, name="conv2")(h)
         h = BatchNorm(train, dt, "conv2_bn")(h)
         return _gelu(shortcut1 + h)
+
+    def _fused(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Eval-mode base block via the fused Pallas kernel. The
+        [B,H,W,C] <-> [B,H,C,W] transposes at the boundary are layout
+        bitcasts when the producer is W-minor (which XLA picks for
+        mmunet's quarter-split channel counts)."""
+        from unet_zoo_tpu.ops.pallas.mkblock import (
+            fold_mkblock_params,
+            fused_mkblock,
+        )
+
+        ops = fold_mkblock_params(
+            self.variables["params"], self.variables["batch_stats"],
+            self.dim)
+        xt = x.transpose(0, 1, 3, 2)
+        out = fused_mkblock(xt.astype(jnp.bfloat16), *ops)
+        return out.transpose(0, 1, 3, 2).astype(self.dtype)
 
 
 class UpFuse(nn.Module):

@@ -59,6 +59,38 @@ class _FoldedBN(nn.Module):
         return scale, bias, mean.value, var.value
 
 
+class _TrainBN(nn.Module):
+    """nn.BatchNorm's exact variable tree with split read/update methods,
+    for the fused *train* path: the batch moments only exist after the
+    Pallas stats pass runs, so the running-stats update must happen in a
+    second method call (flax BatchNorm fuses both into one __call__).
+    Update matches flax: momentum 0.9, biased batch variance, f32."""
+
+    features: int
+
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones,
+                                (self.features,), jnp.float32)
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.features,), jnp.float32)
+        self.mean = self.variable("batch_stats", "mean",
+                                  lambda: jnp.zeros((self.features,),
+                                                    jnp.float32))
+        self.var = self.variable("batch_stats", "var",
+                                 lambda: jnp.ones((self.features,),
+                                                  jnp.float32))
+
+    def read_scale(self):
+        return self.scale
+
+    def update(self, batch_mean, batch_var):
+        if not self.is_initializing():
+            self.mean.value = (0.9 * self.mean.value
+                               + 0.1 * batch_mean.astype(jnp.float32))
+            self.var.value = (0.9 * self.var.value
+                              + 0.1 * batch_var.astype(jnp.float32))
+
+
 class AxialAttention(nn.Module):
     """One-axis attention (ref :50-123 / :125-209 / :211-267).
 
@@ -124,7 +156,13 @@ class AxialAttention(nn.Module):
                 out = avg_pool2d(out, self.stride, self.stride)
             return out
 
-        if self.mode == "wopos":
+        if (use_pallas and train and self.mode != "wopos"
+                and length <= 128 and not self.is_initializing()):
+            # fused train path: batch-stat BN with exact custom-VJP
+            # gradients (ops/pallas/axial_train.py); output BN + gates
+            # run in XLA below on length-sized tensors
+            out = self._fused_train_path(q, k, v, length, g, gp, ks)
+        elif self.mode == "wopos":
             sim = jnp.einsum("bigc,bjgc->bijg", q, k)
             sim = BatchNorm(train, dt, name="bn_similarity")(sim)
             sim = nn.softmax(sim, axis=2)  # over keys j
@@ -234,6 +272,54 @@ class AxialAttention(nn.Module):
         return fused_axial_attention(
             q, k, v, q_emb, k_emb, v_emb, sim_scale, sim_shift,
             out_scale, out_shift, wopos=wopos, interpret=interpret)
+
+
+    def _fused_train_path(self, q, k, v, length, g, gp, ks):
+        """Train-mode fused kernel path (positional modes). Declares the
+        same parameter surface as the XLA branch; bn_similarity's batch
+        moments come back from the stats pass and update the running
+        stats with flax semantics. Output BN stays in XLA."""
+        import jax
+
+        from unet_zoo_tpu.ops.pallas.axial_train import fused_axial_train
+
+        dt = self.dtype
+        interpret = jax.default_backend() != "tpu"
+        rel_init = nn.initializers.normal(np.sqrt(1.0 / gp))
+        relative = self.param("relative", rel_init,
+                              (gp * 2, 2 * ks - 1), jnp.float32)
+        emb = relative[:, jnp.asarray(_relative_index(ks))]
+        emb = emb.reshape(gp * 2, ks, ks).astype(dt)
+        q_emb = emb[: gp // 2, :length, :length]
+        k_emb = emb[gp // 2 : gp, :length, :length]
+        v_emb = emb[gp:, :length, :length]
+        keT = k_emb.transpose(0, 2, 1)
+
+        if self.mode == "gated":
+            f_qr = self.param("f_qr", nn.initializers.constant(0.1), ())
+            f_kr = self.param("f_kr", nn.initializers.constant(0.1), ())
+            qg = q * f_qr.astype(dt)
+            kg = k * f_kr.astype(dt)
+        else:
+            qg, kg = q, k
+
+        bn_sim = _TrainBN(3 * g, name="bn_similarity")
+        gamma = bn_sim.read_scale().reshape(3, g)
+        sv, sve, mu, var = fused_axial_train(
+            q, k, qg, kg, v, q_emb, keT, v_emb, gamma, 1e-5, interpret)
+        bn_sim.update(mu.reshape(-1), var.reshape(-1))
+
+        if self.mode == "gated":
+            f_sv = self.param("f_sv", nn.initializers.constant(1.0), ())
+            f_sve = self.param("f_sve", nn.initializers.constant(0.1), ())
+            sv = sv * f_sv.astype(dt)
+            sve = sve * f_sve.astype(dt)
+
+        paired = jnp.stack([sv, sve], axis=-1)
+        paired = paired.reshape(-1, length, self.out_planes * 2)
+        paired = BatchNorm(True, dt, name="bn_output")(paired)
+        out = paired.reshape(-1, length, g, gp, 2).sum(axis=-1)
+        return out.reshape(-1, length, self.out_planes)
 
 
 class AxialBlock(nn.Module):

@@ -61,6 +61,30 @@ def _dwconv(f, k, dt, name):
                    dtype=dt, name=name)
 
 
+def _softmax_morph(z, repeat, train):
+    """softmax over C then `repeat` rounds of 7x7 (dilate, erode).
+
+    Eval-mode forwards on TPU at fused-eligible shapes run the
+    VMEM-resident Pallas kernel (ops/pallas/morph.py) — one pass instead
+    of 4-8 full-resolution reduce-windows + softmax chain. Gradients
+    aren't defined for the kernel, so training keeps the XLA path."""
+    from unet_zoo_tpu.ops.pallas.morph import (
+        fused_softmax_morph,
+        use_fused_morph,
+    )
+
+    if not train and use_fused_morph(z.shape):
+        d, e = fused_softmax_morph(z.transpose(0, 1, 3, 2), k=7,
+                                   repeat=repeat)
+        return d.transpose(0, 1, 3, 2), e.transpose(0, 1, 3, 2)
+    sm = nn.softmax(z, axis=-1)
+    d, e = sm, sm
+    for _ in range(repeat):
+        d = max_pool2d(d, 7, 1, 3)
+        e = -max_pool2d(-e, 7, 1, 3)
+    return d, e
+
+
 class MKBlock(nn.Module):
     """ConvNeXt-ish multi-kernel block (ref Block, :6-59): split channels
     into quarters; cascaded 3/5/7 depthwise convs with running additions;
@@ -164,9 +188,7 @@ class UpFuse(nn.Module):
             h = _gelu(h)
             x3_short = nn.Conv(self.out_channels, (1, 1), dtype=dt, name="mlp_fc2")(h)
 
-        sm = nn.softmax(x2, axis=-1)
-        erode = -max_pool2d(max_pool2d(-sm, 7, 1, 3), 7, 1, 3)
-        dilate = max_pool2d(max_pool2d(sm, 7, 1, 3), 7, 1, 3)
+        dilate, erode = _softmax_morph(x2, repeat=2, train=train)
         gated = nn.sigmoid(
             nn.Conv(x2.shape[-1], (1, 1), dtype=dt, name="linear1")(erode + x2)
         ) * x2 + nn.sigmoid(erode) * jnp.tanh(dilate)
@@ -230,8 +252,8 @@ class MMUNet(nn.Module):
         x2u = _gelu(BatchNorm(train, dt, "efm_bn")(x2u))
 
         def edge(z):
-            sm = nn.softmax(z, axis=-1)
-            return max_pool2d(sm, 7, 1, 3) - (-max_pool2d(-sm, 7, 1, 3))
+            dil, ero = _softmax_morph(z, repeat=1, train=train)
+            return dil - ero
 
         new_edge = nn.Conv(bc, (1, 1), dtype=dt, name="efm_linear1")(
             jnp.concatenate([edge(x2u), edge(x1)], axis=-1))

@@ -126,18 +126,24 @@ def _kernel(x_ref, x_any, dw_ref, s_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         [x1[5: rows + 5], x2[3: rows + 3], x3, center[:, 3 * q:]],
         axis=1).astype(jnp.bfloat16)                          # [R, C, W]
 
-    # pointwise MLP as two fat dots over the row-concatenated tile
-    z = jnp.concatenate([h0[r] for r in range(rows)], axis=-1)  # [C, R*W]
-    h1 = jnp.dot(w1_ref[:], z, preferred_element_type=jnp.float32)
-    h1 = _gelu(h1 + b1_ref[:])
-    h2 = jnp.dot(w2_ref[:], h1.astype(jnp.bfloat16),
-                 preferred_element_type=jnp.float32)          # [Cpad, R*W]
-
-    pieces = []
-    for r in range(rows):
-        hr = h2[:c, r * w: (r + 1) * w] + b2_ref[:]
-        pieces.append((center[r] + hr)[None])
-    out_ref[:] = jnp.concatenate(pieces, axis=0).astype(out_ref.dtype)
+    # pointwise MLP as fat dots over row-concatenated chunks. Chunking
+    # (8 rows = 2048 lanes at W=256) bounds the [4C, chunk*W] f32
+    # intermediate so large row blocks stay within VMEM. (row_block=16
+    # was measured: 12.5 vs 10.8 ms at 96ch/256px/b16 — VMEM pressure
+    # stalls the pipeline; 8 stands.)
+    chunk = min(rows, max(1, 2048 // w))
+    outs = []
+    for r0 in range(0, rows, chunk):
+        z = jnp.concatenate([h0[r] for r in range(r0, r0 + chunk)],
+                            axis=-1)                          # [C, chunk*W]
+        h1 = jnp.dot(w1_ref[:], z, preferred_element_type=jnp.float32)
+        h1 = _gelu(h1 + b1_ref[:])
+        h2 = jnp.dot(w2_ref[:], h1.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)      # [Cpad, chunk*W]
+        for r in range(chunk):
+            hr = h2[:c, r * w: (r + 1) * w] + b2_ref[:]
+            outs.append((center[r0 + r] + hr).astype(out_ref.dtype)[None])
+    out_ref[:] = jnp.concatenate(outs, axis=0)
 
 
 def fused_mkblock(

@@ -69,16 +69,21 @@ def _epoch_mean(acc: List[jnp.ndarray]) -> float:
 
 def train_one_epoch(train_step, state: TrainState, dataloader, epoch: int,
                     model_name: str, writer, logger: Logger,
-                    sharding=None) -> Tuple[TrainState, float, float]:
+                    sharding=None) -> Tuple[TrainState, float, float, float]:
+    import time
+
     from unet_zoo_tpu.data.loader import prefetch_to_device
 
     losses, dices = [], []
     steps_per_epoch = len(dataloader)
+    n_images = 0
+    t0 = time.perf_counter()
     for idx, (imgs, masks, _) in enumerate(
             prefetch_to_device(dataloader, size=2, sharding=sharding)):
         state, metrics = train_step(state, imgs, masks)
         losses.append(metrics["loss"])
         dices.append(metrics["dice"])
+        n_images += int(imgs.shape[0])
 
         if idx % 50 == 0:  # file-log cadence (ref :126-136)
             logger.log_file_only(
@@ -91,7 +96,11 @@ def train_one_epoch(train_step, state: TrainState, dataloader, epoch: int,
                               float(metrics["loss"]), global_step)
             writer.add_scalar(f"Batch/{model_name}_Train_Dice",
                               float(metrics["dice"]), global_step)
-    return state, _epoch_mean(losses), _epoch_mean(dices)
+    mean_loss, mean_dice = _epoch_mean(losses), _epoch_mean(dices)
+    # _epoch_mean forces a device sync, so the clock below covers the full
+    # epoch's compute, not just dispatch — honest loader+step throughput
+    ips = n_images / max(time.perf_counter() - t0, 1e-9)
+    return state, mean_loss, mean_dice, ips
 
 
 def validate_one_epoch(eval_step, variables, dataloader, model_name: str,
@@ -205,7 +214,7 @@ def train_model(
 
     epoch = start_epoch - 1
     for epoch in range(start_epoch, config.EPOCHS):
-        state, train_loss, train_dc = train_one_epoch(
+        state, train_loss, train_dc, train_ips = train_one_epoch(
             train_step, state, train_dataloader, epoch, model_name, writer,
             logger, sharding)
         train_losses.append(train_loss)
@@ -252,6 +261,7 @@ def train_model(
         epoch_log += f"\n  Train Loss: {train_loss:.6f} | Train DICE: {train_dc:.6f}"
         epoch_log += f"\n  Val Loss:   {val_loss:.6f} | Val DICE:   {val_dc:.6f}"
         epoch_log += f"\n  Learning Rate: {current_lr:.8f}"
+        epoch_log += f"\n  Train throughput: {train_ips:.1f} img/s (loader + step)"
         epoch_log += f"\n  Best Val Dice: {early_stopping.get_best_score():.6f}"
         epoch_log += f"\n{'-' * 60}"
         logger.log_both(epoch_log)

@@ -78,24 +78,41 @@ def train_one_epoch(train_step, state: TrainState, dataloader, epoch: int,
     steps_per_epoch = len(dataloader)
     n_images = 0
     t0 = time.perf_counter()
-    for idx, (imgs, masks, _) in enumerate(
-            prefetch_to_device(dataloader, size=2, sharding=sharding)):
+    batches = prefetch_to_device(dataloader, size=2, sharding=sharding)
+    bar = None
+    try:  # tqdm console progress (ref :108); auto-off on non-TTY
+        from tqdm import tqdm
+
+        bar = tqdm(total=steps_per_epoch, disable=None, leave=False,
+                   desc=f"{model_name} epoch {epoch + 1}", unit="batch")
+    except ImportError:
+        pass
+    for idx, (imgs, masks, _) in enumerate(batches):
         state, metrics = train_step(state, imgs, masks)
         losses.append(metrics["loss"])
         dices.append(metrics["dice"])
         n_images += int(imgs.shape[0])
+        if bar is not None:
+            bar.update(1)
 
         if idx % 50 == 0:  # file-log cadence (ref :126-136)
+            # the float() casts are the loop's only per-50-batch host sync;
+            # the tqdm postfix rides the same values at the same cadence
             logger.log_file_only(
                 f"{model_name} - Batch {idx}: Loss={float(metrics['loss']):.4f}, "
                 f"Dice={float(metrics['dice']):.4f}"
             )
+            if bar is not None:
+                bar.set_postfix(loss=f"{float(metrics['loss']):.4f}",
+                                dice=f"{float(metrics['dice']):.4f}")
         if idx % 100 == 0:  # TB cadence (ref :138-141)
             global_step = epoch * steps_per_epoch + idx
             writer.add_scalar(f"Batch/{model_name}_Train_Loss",
                               float(metrics["loss"]), global_step)
             writer.add_scalar(f"Batch/{model_name}_Train_Dice",
                               float(metrics["dice"]), global_step)
+    if bar is not None:
+        bar.close()
     mean_loss, mean_dice = _epoch_mean(losses), _epoch_mean(dices)
     # _epoch_mean forces a device sync, so the clock below covers the full
     # epoch's compute, not just dispatch — honest loader+step throughput

@@ -20,15 +20,24 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
+
+# same escape hatch as the scripts: this image's sitecustomize pins jax to
+# the tunneled TPU backend; UNET_ZOO_PLATFORM=cpu forces CPU for dry runs
+if os.environ.get("UNET_ZOO_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["UNET_ZOO_PLATFORM"])
 
 NORTH_STAR_IMG_PER_SEC = 5000.0
 
 
 def bench_model(model_name: str, batch: int, size: int, dtype_str: str,
-                mode: str, nbatches: int = 10) -> float:
+                mode: str, nbatches: int = 10,
+                model_kwargs: dict | None = None) -> float:
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -41,6 +50,8 @@ def bench_model(model_name: str, batch: int, size: int, dtype_str: str,
     kwargs = {"dtype": dtype, "image_size": size}
     if model_name == "swin_unet_v2":
         kwargs["window_size"] = 8
+    if model_kwargs:
+        kwargs.update(model_kwargs)
     model = create_model(model_name, **kwargs)
 
     rng = np.random.default_rng(0)
@@ -137,10 +148,14 @@ def main():
                         choices=["bfloat16", "float32"])
     parser.add_argument("--mode", default="fwd", choices=["fwd", "train"])
     parser.add_argument("--nbatches", type=int, default=16)
+    parser.add_argument("--model-kwargs", default=None,
+                        help='JSON dict of extra create_model kwargs, e.g. '
+                             '\'{"use_pallas": false}\' for kernel A/Bs')
     args = parser.parse_args()
 
+    mk = json.loads(args.model_kwargs) if args.model_kwargs else None
     ips = bench_model(args.model, args.batch, args.size, args.dtype,
-                      args.mode, args.nbatches)
+                      args.mode, args.nbatches, model_kwargs=mk)
     print(json.dumps({
         "metric": f"{args.model}_{args.mode}_images_per_sec_{args.size}px",
         "value": round(ips, 2),

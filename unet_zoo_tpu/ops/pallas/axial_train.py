@@ -74,11 +74,15 @@ def _sim_terms(q_ref, qg_ref, k_ref, kg_ref, qe_ref, keT_ref, cdim):
 
 def _stats_kernel(q_ref, qg_ref, k_ref, kg_ref, qe_ref, keT_ref, out_ref,
                   *, cdim: int):
+    # reduce over i only (axis 1) — the [g] full reduction is a rank-1
+    # value Mosaic's layout inference rejects on real TPUs (layout.h
+    # "arr.size() >= layout_rank" check); XLA reduces the remaining
+    # (n, j) axes outside the kernel
     qk, qr, kr = _sim_terms(q_ref, qg_ref, k_ref, kg_ref, qe_ref, keT_ref,
                             cdim)
     for t, term in enumerate((qk, qr, kr)):
-        out_ref[0, t: t + 1] = jnp.sum(term, axis=(1, 2))[None]
-        out_ref[0, 3 + t: 4 + t] = jnp.sum(term * term, axis=(1, 2))[None]
+        out_ref[0, t] = jnp.sum(term, axis=1)                 # [g, L]
+        out_ref[0, 3 + t] = jnp.sum(term * term, axis=1)
 
 
 def _softmax_sim(qk, qr, kr, c_ref):
@@ -136,8 +140,8 @@ def _bwd1_kernel(q_ref, qg_ref, k_ref, kg_ref, v_ref, qe_ref, keT_ref,
     dpre = _dpre(sim, v_ref, ve_ref, dsv_ref, dsve_ref, gp)
 
     for t, term in enumerate((qk, qr, kr)):
-        s_ref[0, t: t + 1] = jnp.sum(dpre * _xhat(term, t, c_ref),
-                                     axis=(1, 2))[None]
+        # rank-2 partial (see _stats_kernel); XLA finishes the (n, j) sum
+        s_ref[0, t] = jnp.sum(dpre * _xhat(term, t, c_ref), axis=1)
 
     f32 = jnp.float32
     @pl.when(n == 0)
@@ -226,14 +230,15 @@ def _moments(q, k, qg, kg, qe, keT, eps, interpret):
         functools.partial(_stats_kernel, cdim=cdim),
         grid=(n,),
         in_specs=[pn(cdim)] * 4 + [const(qe.shape), const(keT.shape)],
-        out_specs=pl.BlockSpec((1, 6, groups), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, 6, groups, length),
+                               lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, 6, groups), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, 6, groups, length), jnp.float32),
         interpret=interpret,
     )(tcl(q), tcl(qg), tcl(k), tcl(kg), qe.astype(jnp.float32),
       keT.astype(jnp.float32))
     m = float(n * length * length)
-    tot = jnp.sum(sums, axis=0)                     # [6, g]
+    tot = jnp.sum(sums, axis=(0, 3))                # [6, g]
     mu = tot[:3] / m
     var = tot[3:] / m - mu * mu
     return mu, var, m
@@ -299,20 +304,20 @@ def _bwd(eps, interpret, res, cts):
         grid=(n,),
         in_specs=in_specs + [const(consts0.shape)],
         out_specs=(
-            pl.BlockSpec((1, 3, groups), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 3, groups, length), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pn(gp),
             const(ve.shape),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n, 3, groups), jnp.float32),
+            jax.ShapeDtypeStruct((n, 3, groups, length), jnp.float32),
             jax.ShapeDtypeStruct((n, gp, groups, length), jnp.float32),
             jax.ShapeDtypeStruct(ve.shape, jnp.float32),
         ),
         interpret=interpret,
     )(*ops, consts0)
 
-    s = jnp.sum(s_part, axis=0)                     # [3, g]
+    s = jnp.sum(s_part, axis=(0, 3))                # [3, g]
     e = -(a * s) / m
     consts, _ = _pack_consts(gamma, mu, var, e, eps, groups, length)
 

@@ -122,11 +122,11 @@ def train_one_epoch(train_step, state: TrainState, dataloader, epoch: int,
 
 def validate_one_epoch(eval_step, variables, dataloader, model_name: str,
                        logger: Logger, sharding=None) -> Tuple[float, float]:
+    from unet_zoo_tpu.data.loader import prefetch_to_device
+
     losses, dices = [], []
-    for imgs, masks, _ in dataloader:
-        if sharding is not None:
-            imgs = jax.device_put(imgs, sharding)
-            masks = jax.device_put(masks, sharding)
+    for imgs, masks, _ in prefetch_to_device(dataloader, size=2,
+                                             sharding=sharding):
         metrics = eval_step(variables, imgs, masks)
         losses.append(metrics["loss"])
         dices.append(metrics["dice"])

@@ -10,7 +10,7 @@ deform_conv here; ref delegates to torchvision, :71-78).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence
+from typing import Any, Dict, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -114,10 +114,11 @@ class DeformableConv(nn.Module):
     strides: int = 1
     padding: int = 1
     use_bias: bool = False
+    use_pallas: Optional[bool] = None
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         k = self.kernel_size
         p = (k - 1) // 2
         offset = nn.Conv(2 * k * k, (k, k), strides=(self.strides, self.strides),
@@ -136,21 +137,36 @@ class DeformableConv(nn.Module):
         )
         bias = (self.param("bias", nn.initializers.zeros, (self.features,),
                            jnp.float32) if self.use_bias else None)
-        return deform_conv2d(x, offset, modulator, weight.astype(self.dtype),
-                             None if bias is None else bias.astype(self.dtype),
-                             self.strides, self.padding)
+        # auto mode is eval-only: the kernel has no VJP (training keeps
+        # the differentiable XLA path, like the other fwd-only kernels)
+        use_pallas = self.use_pallas
+        if use_pallas is None and not train and not self.is_initializing():
+            from unet_zoo_tpu.ops.pallas.deform import use_pallas_deform
+
+            use_pallas = use_pallas_deform(x.shape, k, self.strides, 1)
+        if use_pallas:
+            from unet_zoo_tpu.ops.pallas.deform import deform_conv2d_pallas
+
+            impl = deform_conv2d_pallas
+        else:
+            impl = deform_conv2d
+        return impl(x, offset, modulator, weight.astype(self.dtype),
+                    None if bias is None else bias.astype(self.dtype),
+                    self.strides, self.padding)
 
 
 class DeformableResblock(nn.Module):
     """x + conv3x3(relu(deform_conv(x))) (ref :81-91)."""
 
     mid_features: int
+    use_pallas: Optional[bool] = None
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         h = nn.relu(DeformableConv(self.mid_features, use_bias=True,
-                                   dtype=self.dtype, name="deform")(x))
+                                   use_pallas=self.use_pallas,
+                                   dtype=self.dtype, name="deform")(x, train))
         h = nn.Conv(x.shape[-1], (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="last_conv")(h)
         return x + h
@@ -170,6 +186,7 @@ class WRADecoder(nn.Module):
     """PixelShuffle up + concat + conv + deformable resblock (ref :160-174)."""
 
     features: int
+    use_pallas: Optional[bool] = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -182,13 +199,16 @@ class WRADecoder(nn.Module):
         h = jnp.concatenate([up, x_large], axis=-1)
         h = BasicConv(self.features, kernel_size=3, padding=1, norm="batch",
                       dtype=dt, name="conv_3x3_last")(h, train)
-        return DeformableResblock(self.features // 4, dtype=dt, name="rdb")(h)
+        return DeformableResblock(self.features // 4,
+                                  use_pallas=self.use_pallas,
+                                  dtype=dt, name="rdb")(h, train)
 
 
 class WRANet(nn.Module):
     in_channels: int = 3
     num_classes: int = 1
     feature_channels: int = 128
+    use_pallas: Optional[bool] = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -214,8 +234,10 @@ class WRANet(nn.Module):
                       use_bias=False, dtype=dt, name="down2")(lv2)
         lv3 = encoder(lv3, "enc3")
 
-        d2 = WRADecoder(fc, dtype=dt, name="decoder_lv2")(lv3, lv2, train)
-        d1 = WRADecoder(fc, dtype=dt, name="decoder_lv1")(d2, lv1, train)
+        d2 = WRADecoder(fc, use_pallas=self.use_pallas, dtype=dt,
+                        name="decoder_lv2")(lv3, lv2, train)
+        d1 = WRADecoder(fc, use_pallas=self.use_pallas, dtype=dt,
+                        name="decoder_lv1")(d2, lv1, train)
 
         h = nn.Conv(fc // 2, (3, 3), padding=((1, 1), (1, 1)), dtype=dt,
                     name="last1")(d1)

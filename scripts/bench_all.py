@@ -37,10 +37,11 @@ def list_model_names():
     return list_models()
 
 
-def run_one(model: str, mode: str, batch: int, timeout: int = 1500):
+def run_one(model: str, mode: str, batch: int, timeout: int = 1500,
+            nbatches: int = 8):
     cmd = [sys.executable, os.path.join(REPO, "bench.py"),
            "--model", model, "--mode", mode, "--batch", str(batch),
-           "--nbatches", "8"]
+           "--nbatches", str(nbatches)]
     try:
         out = subprocess.run(cmd, capture_output=True, text=True,
                              timeout=timeout, cwd=REPO)
@@ -65,6 +66,10 @@ def main():
     ap.add_argument("--models", default=None,
                     help="comma-separated subset (default: all)")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_ALL.json"))
+    ap.add_argument("--timeout", type=int, default=1500,
+                    help="per-model budget in seconds (train compiles of "
+                         "the big op-soup graphs need 2500+ on the tunnel)")
+    ap.add_argument("--nbatches", type=int, default=8)
     args = ap.parse_args()
 
     names = (args.models.split(",") if args.models else list_model_names())
@@ -94,7 +99,8 @@ def main():
             batch = (TRAIN_SMALL_BATCH if mode == "train"
                      else SMALL_BATCH).get(name, 32)
             print(f"[run ] {name} {mode} b{batch} ...", flush=True)
-            val, err = run_one(name, mode, batch)
+            val, err = run_one(name, mode, batch,
+                               args.timeout, args.nbatches)
             if val is None:
                 print(f"[FAIL] {name} {mode}: {err}", flush=True)
                 continue

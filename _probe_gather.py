@@ -44,10 +44,10 @@ def k_loop(tab_ref, idx_ref, out_ref):
 def run(variant: str):
     rng = np.random.default_rng(0)
     tab = jnp.asarray(rng.standard_normal((ROWS, C)), jnp.float32)
-    idx = jnp.asarray(rng.integers(0, ROWS, size=N), jnp.int32)
+    idx = jnp.asarray(rng.integers(0, ROWS, size=(1, N)), jnp.int32)
 
     if variant == "xla":
-        f = jax.jit(lambda t, i: jnp.take(t, i, axis=0))
+        f = jax.jit(lambda t, i: jnp.take(t, i[0], axis=0))
     else:
         kern = {"take": k_take, "tala": k_tala, "loop": k_loop}[variant]
         f = jax.jit(functools.partial(
@@ -64,7 +64,7 @@ def run(variant: str):
             out_shape=jax.ShapeDtypeStruct((N, C), jnp.float32),
         )(kern))
     out = f(tab, idx)
-    ref = np.asarray(tab)[np.asarray(idx)]
+    ref = np.asarray(tab)[np.asarray(idx)[0]]
     err = float(jnp.max(jnp.abs(out - ref)))
     # timing: scan many gathers inside one program, fresh data
     @jax.jit
@@ -75,9 +75,9 @@ def run(variant: str):
         return s
 
     reps = 200
-    I = jnp.asarray(rng.integers(0, ROWS, size=(reps, N)), jnp.int32)
+    I = jnp.asarray(rng.integers(0, ROWS, size=(reps, 1, N)), jnp.int32)
     float(many(tab, I))
-    I2 = jnp.asarray(rng.integers(0, ROWS, size=(reps, N)), jnp.int32)
+    I2 = jnp.asarray(rng.integers(0, ROWS, size=(reps, 1, N)), jnp.int32)
     t0 = time.perf_counter()
     float(many(tab, I2))
     dt = (time.perf_counter() - t0) / reps

@@ -57,3 +57,29 @@ def test_predictor_on_mesh():
     pred = make_predictor(model, variables, "mask", cast_bf16=False, mesh=mesh)
     out = pred(np.asarray(x))
     assert out.shape == (8, 32, 32, 1)
+
+
+def test_export_predictor_roundtrip(tmp_path):
+    """StableHLO export embeds weights + postprocessing; the rehydrated
+    predictor matches the live one without model code."""
+    from unet_zoo_tpu.utils.serving import export_predictor, load_predictor
+
+    model, variables, x = _setup()
+    live = make_predictor(model, variables, output="probs")
+    p = str(tmp_path / "unet.shlo")
+    export_predictor(model, variables, batch=2, image_size=32,
+                     output="probs", path=p)
+    restored = load_predictor(p)
+    np.testing.assert_allclose(np.asarray(restored(x)),
+                               np.asarray(live(x)), atol=1e-5, rtol=1e-5)
+
+
+def test_export_predictor_mask_output():
+    from unet_zoo_tpu.utils.serving import export_predictor, load_predictor
+
+    model, variables, x = _setup()
+    blob = export_predictor(model, variables, batch=2, image_size=32,
+                            output="mask")
+    restored = load_predictor(blob)
+    out = np.asarray(restored(x))
+    assert out.dtype == np.uint8 and set(np.unique(out)) <= {0, 1}

@@ -70,3 +70,50 @@ def make_predictor(
 
         return predict_sharded
     return predict
+
+
+def export_predictor(
+    model: ZooModel,
+    variables: Any,
+    batch: int,
+    image_size: int,
+    in_channels: int = 3,
+    output: str = "logits",
+    threshold: float = 0.5,
+    cast_bf16: bool = True,
+    path: Optional[str] = None,
+) -> bytes:
+    """Serialize a predictor to a portable StableHLO artifact (jax.export).
+
+    The artifact embeds the weights as constants and the whole inference
+    program (fwd + optional sigmoid/threshold), so a serving process can
+    run it with ``load_predictor`` without the model code, and it is
+    stable across framework versions (StableHLO serialization
+    guarantees). Shapes are fixed at export time — the standard
+    trade-off for compiled serving on TPU.
+    """
+    from jax import export as jax_export
+
+    predict = make_predictor(model, variables, output=output,
+                             threshold=threshold, cast_bf16=cast_bf16)
+    spec = jax.ShapeDtypeStruct((batch, image_size, image_size, in_channels),
+                                jnp.float32)
+    blob = jax_export.export(jax.jit(predict))(spec).serialize()
+    if path is not None:
+        with open(path, "wb") as f:
+            f.write(blob)
+    return blob
+
+
+def load_predictor(blob_or_path) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Rehydrate an exported predictor: returns a jitted callable."""
+    from jax import export as jax_export
+
+    if isinstance(blob_or_path, (str, bytes)) and not isinstance(
+            blob_or_path, bytes):
+        with open(blob_or_path, "rb") as f:
+            blob = f.read()
+    else:
+        blob = blob_or_path
+    exported = jax_export.deserialize(blob)
+    return jax.jit(exported.call)

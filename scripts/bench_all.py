@@ -37,6 +37,9 @@ def list_model_names():
     return list_models()
 
 
+GRANT_COOLDOWN_S = 1600  # stale relay-grant expiry after a killed client
+
+
 def run_one(model: str, mode: str, batch: int, timeout: int = 1500,
             nbatches: int = 8):
     cmd = [sys.executable, os.path.join(REPO, "bench.py"),
@@ -46,6 +49,14 @@ def run_one(model: str, mode: str, batch: int, timeout: int = 1500,
         out = subprocess.run(cmd, capture_output=True, text=True,
                              timeout=timeout, cwd=REPO)
     except subprocess.TimeoutExpired:
+        # Killing a TPU client mid-RPC leaves a stale relay grant that
+        # blocks every later client for ~25 min; pay the cooldown here so
+        # the rest of the sweep isn't silently poisoned.
+        import time
+        print(f"[warn] {model} {mode} timed out; cooling down "
+              f"{GRANT_COOLDOWN_S}s for the relay grant to expire",
+              flush=True)
+        time.sleep(GRANT_COOLDOWN_S)
         return None, "timeout"
     if out.returncode != 0:
         return None, (out.stderr or out.stdout)[-400:]

@@ -90,11 +90,11 @@ def test_spatial_conv_stack_and_pool_roundtrip():
         h = spatial_max_pool2(h)
         return spatial_upsample2(h)
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     spec = P(None, "data", None, None)
     fn = jax.jit(shard_map(local, mesh=mesh, in_specs=(spec, P()),
-                           out_specs=spec, check_rep=False))
+                           out_specs=spec, check_vma=False))
     got = fn(jax.device_put(x, spatial_sharding(mesh)), (k1, k2))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref_fn(x)),
                                atol=1e-5, rtol=1e-5)

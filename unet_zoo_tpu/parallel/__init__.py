@@ -9,6 +9,7 @@ from unet_zoo_tpu.parallel.mesh import (
     replicate_state,
 )
 from unet_zoo_tpu.parallel.fsdp import fsdp_sharding_for, shard_state_fsdp
+from unet_zoo_tpu.parallel.tensor import tp_sharding_for, shard_state_tp
 from unet_zoo_tpu.parallel.spatial import (
     halo_exchange_h,
     make_spatial_fn,
@@ -34,6 +35,8 @@ __all__ = [
     "replicate_state",
     "fsdp_sharding_for",
     "shard_state_fsdp",
+    "tp_sharding_for",
+    "shard_state_tp",
     "initialize_distributed",
     "is_primary",
     "global_mesh",

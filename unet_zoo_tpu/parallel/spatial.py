@@ -157,11 +157,11 @@ def spatial_upsample2_bilinear(x: jnp.ndarray,
 def make_spatial_fn(mesh: Mesh, fn: Callable, axis_name: str = "data"):
     """Wrap a shard-local function (built from the ops above) into a
     jitted global-array program: inputs/outputs H-sharded over the mesh."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     spec = P(None, axis_name, None, None)
     mapped = shard_map(fn, mesh=mesh, in_specs=(spec, P()),
-                       out_specs=spec, check_rep=False)
+                       out_specs=spec, check_vma=False)
     return jax.jit(mapped)
 
 

@@ -86,7 +86,7 @@ def spatial_unet_apply(mesh: Mesh, variables: Dict[str, Any],
     """Build a jitted fn(x_global) -> logits running the full unet with
     H sharded over `axis_name`. x_global: [B, H, W, 3] with H divisible
     by 16 * mesh shard count."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     spec = P(None, axis_name, None, None)
 
@@ -94,7 +94,7 @@ def spatial_unet_apply(mesh: Mesh, variables: Dict[str, Any],
         return unet_forward_local(variables, x, axis_name)
 
     mapped = shard_map(fn, mesh=mesh, in_specs=(spec,), out_specs=spec,
-                       check_rep=False)
+                       check_vma=False)
 
     def run(x_global):
         x_global = jax.device_put(

@@ -79,6 +79,27 @@ def test_tp_train_step_matches_single_device():
     assert not leaf.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
+def test_tp_specs_place_for_every_zoo_member():
+    """The pairing rules must yield placeable (divisible) shardings for
+    every registry entry's parameter tree — guards against a rule that
+    picks an axis the mesh size doesn't divide."""
+    from unet_zoo_tpu.models import list_models
+
+    mesh = create_mesh(model_axis=4)
+    for name in list_models():
+        model = create_model(name, in_channels=3, num_classes=1,
+                             image_size=64,
+                             **({"window_size": 8}
+                                if name == "swin_unet_v2" else {}))
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 3)))
+        placed = jax.tree_util.tree_map(
+            jax.device_put, dict(variables), tp_sharding_for(mesh,
+                                                             dict(variables)))
+        jax.block_until_ready(placed)
+
+
 def test_tp_eval_forward_finite():
     from unet_zoo_tpu.train.steps import make_eval_step, variables_of
 

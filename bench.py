@@ -37,7 +37,8 @@ NORTH_STAR_IMG_PER_SEC = 5000.0
 
 def bench_model(model_name: str, batch: int, size: int, dtype_str: str,
                 mode: str, nbatches: int = 10,
-                model_kwargs: dict | None = None) -> float:
+                model_kwargs: dict | None = None,
+                remat: bool = False) -> float:
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -99,6 +100,12 @@ def bench_model(model_name: str, batch: int, size: int, dtype_str: str,
                         rngs={"dropout": jax.random.PRNGKey(0)})
                     return multi_output_loss(out, mb, model.loss_weight), mut
 
+                if remat:
+                    # recompute activations in the bwd pass: lets the
+                    # memory-heavy members run the bench batch instead of
+                    # shrinking to b8-16
+                    loss_fn = jax.checkpoint(loss_fn)
+
                 (loss, mut), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(params, batch_stats)
                 updates, opt_state = tx.update(grads, opt_state, params)
@@ -151,11 +158,16 @@ def main():
     parser.add_argument("--model-kwargs", default=None,
                         help='JSON dict of extra create_model kwargs, e.g. '
                              '\'{"use_pallas": false}\' for kernel A/Bs')
+    parser.add_argument("--remat", action="store_true",
+                        help="checkpoint the train forward (activation "
+                             "recompute) — batch-size lever for the "
+                             "memory-heavy members")
     args = parser.parse_args()
 
     mk = json.loads(args.model_kwargs) if args.model_kwargs else None
     ips = bench_model(args.model, args.batch, args.size, args.dtype,
-                      args.mode, args.nbatches, model_kwargs=mk)
+                      args.mode, args.nbatches, model_kwargs=mk,
+                      remat=args.remat)
     print(json.dumps({
         "metric": f"{args.model}_{args.mode}_images_per_sec_{args.size}px",
         "value": round(ips, 2),

@@ -35,7 +35,7 @@ if os.environ.get("UNET_ZOO_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["UNET_ZOO_PLATFORM"])
 
 from unet_zoo_tpu.data.datasets import BoneDataset
-from unet_zoo_tpu.data.loader import DataLoader
+from unet_zoo_tpu.data.grain_loader import create_loader
 from unet_zoo_tpu.models import create_model
 from unet_zoo_tpu.train.loop import evaluate_model
 from unet_zoo_tpu.utils.checkpoint import checkpoint_exists, load_checkpoint
@@ -72,8 +72,9 @@ def main():
     num_samples = ev.get("visualization_samples", 5)
 
     test_ds = BoneDataset(data["dataset_dir"], "test", image_size=image_size)
-    test_loader = DataLoader(test_ds, batch_size,
-                             num_workers=data.get("num_workers", 4))
+    test_loader = create_loader(test_ds, batch_size,
+                                num_workers=data.get("num_workers", 4),
+                                backend=data.get("loader", "native"))
     logger.log_both(f"Test dataset size: {len(test_ds)}")
 
     entries = cfg["models"]["models_to_evaluate"]

@@ -27,7 +27,7 @@ if os.environ.get("UNET_ZOO_PLATFORM"):
 
 from unet_zoo_tpu.config import Config
 from unet_zoo_tpu.data.datasets import BoneDataset
-from unet_zoo_tpu.data.loader import DataLoader
+from unet_zoo_tpu.data.grain_loader import create_loader
 from unet_zoo_tpu.models import create_model
 from unet_zoo_tpu.parallel import create_mesh_for_batch
 from unet_zoo_tpu.train.loop import train_model
@@ -118,11 +118,13 @@ def main():
     logger.log_both(f"Train dataset size: {len(train_dataset)}")
     logger.log_both(f"Validation dataset size: {len(val_dataset)}")
 
-    train_loader = DataLoader(train_dataset, batch_size=config.BATCH_SIZE,
-                              shuffle=True, drop_last=True,
-                              num_workers=config.NUM_WORKERS)
-    val_loader = DataLoader(val_dataset, batch_size=config.BATCH_SIZE,
-                            shuffle=False, num_workers=config.NUM_WORKERS)
+    train_loader = create_loader(train_dataset, batch_size=config.BATCH_SIZE,
+                                 shuffle=True, drop_last=True,
+                                 num_workers=config.NUM_WORKERS,
+                                 backend=config.LOADER)
+    val_loader = create_loader(val_dataset, batch_size=config.BATCH_SIZE,
+                               shuffle=False, num_workers=config.NUM_WORKERS,
+                               backend=config.LOADER)
 
     metrics_history = {}
     early_stopped_flags = {}

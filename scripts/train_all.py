@@ -24,7 +24,7 @@ if os.environ.get("UNET_ZOO_PLATFORM"):
 
 from unet_zoo_tpu.config import Config
 from unet_zoo_tpu.data.datasets import BoneDataset
-from unet_zoo_tpu.data.loader import DataLoader
+from unet_zoo_tpu.data.grain_loader import create_loader
 from unet_zoo_tpu.models import create_model
 from unet_zoo_tpu.parallel import create_mesh_for_batch
 from unet_zoo_tpu.train.loop import evaluate_model, train_model
@@ -112,12 +112,16 @@ def main():
     val_ds = BoneDataset(config.DATASET_DIR, "valid",
                          image_size=config.IMAGE_SIZE, cache=config.CACHE_DATA)
     test_ds = BoneDataset(config.DATASET_DIR, "test", image_size=config.IMAGE_SIZE)
-    train_loader = DataLoader(train_ds, config.BATCH_SIZE, shuffle=True,
-                              drop_last=True, num_workers=config.NUM_WORKERS)
-    val_loader = DataLoader(val_ds, config.BATCH_SIZE,
-                            num_workers=config.NUM_WORKERS)
-    test_loader = DataLoader(test_ds, config.BATCH_SIZE,
-                             num_workers=config.NUM_WORKERS)
+    train_loader = create_loader(train_ds, config.BATCH_SIZE, shuffle=True,
+                                 drop_last=True,
+                                 num_workers=config.NUM_WORKERS,
+                                 backend=config.LOADER)
+    val_loader = create_loader(val_ds, config.BATCH_SIZE,
+                               num_workers=config.NUM_WORKERS,
+                               backend=config.LOADER)
+    test_loader = create_loader(test_ds, config.BATCH_SIZE,
+                                num_workers=config.NUM_WORKERS,
+                                backend=config.LOADER)
 
     # ---- training phase ----
     if not args.skip_training:

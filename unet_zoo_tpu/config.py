@@ -28,6 +28,8 @@ class Config:
         # when true, host-side augmentation is skipped in the scripts
         self.AUGMENT_ON_DEVICE = d["data"].get("augment_on_device", False)
         self.CACHE_DATA = d["data"].get("cache", False)
+        # host input pipeline: 'native' (thread/process pools) or 'grain'
+        self.LOADER = d["data"].get("loader", "native")
 
         t = d["training"]
         self.EPOCHS = t["epochs"]

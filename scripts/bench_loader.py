@@ -46,13 +46,15 @@ def make_dataset(root: str, n: int, size: int) -> None:
 
 
 def bench(root: str, image_size: int, batch: int, workers: int,
-          to_device: bool) -> float:
+          to_device: bool, backend: str = "native") -> float:
     from unet_zoo_tpu.data.datasets import BoneDataset
-    from unet_zoo_tpu.data.loader import DataLoader, prefetch_to_device
+    from unet_zoo_tpu.data.grain_loader import create_loader
+    from unet_zoo_tpu.data.loader import prefetch_to_device
 
     ds = BoneDataset(root, "train", image_size=image_size)
-    loader = DataLoader(ds, batch_size=batch, shuffle=True,
-                        num_workers=workers, drop_last=True)
+    loader = create_loader(ds, batch_size=batch, shuffle=True,
+                           num_workers=workers, drop_last=True,
+                           backend=backend)
     # warm one epoch (page cache, pools)
     for _ in loader:
         pass
@@ -81,18 +83,22 @@ def main():
     ap.add_argument("--out", default="/tmp/loaderbench")
     ap.add_argument("--device", action="store_true",
                     help="include host->device transfer")
+    ap.add_argument("--backend", default="native",
+                    choices=["native", "grain"])
     args = ap.parse_args()
 
     sizes = [int(s) for s in args.sizes.split(",")]
     make_dataset(args.out, args.n, max(sizes))
     for size in sizes:
-        ips = bench(args.out, size, args.batch, args.workers, args.device)
+        ips = bench(args.out, size, args.batch, args.workers, args.device,
+                    args.backend)
         print(json.dumps({
             "metric": f"loader_images_per_sec_{size}px"
                       + ("_to_device" if args.device else ""),
             "value": round(ips, 1),
             "unit": "images/sec",
             "workers": args.workers,
+            "backend": args.backend,
         }))
 
 

@@ -1,0 +1,88 @@
+"""Direct parity for the two previously environment-blocked members.
+
+raunet/wranet could not run against the reference before because the
+reference imports torchvision (absent here). parity_utils now installs a
+faithful pure-torch stub (standard resnet34 + exact deform_conv2d), so
+the real reference modules construct; their own randomly-initialized
+``state_dict`` is converted with ``utils/convert.CONVERTERS`` and both
+frameworks are compared on the same input (BASELINE: logits within 1e-3).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from parity_utils import _install_torchvision_stub, load_ref_module, run_torch
+from unet_zoo_tpu.models import create_model
+from unet_zoo_tpu.utils.convert import CONVERTERS
+
+
+def _np_sd(sd):
+    return {k: np.asarray(v) for k, v in sd.items()}
+
+
+def test_torchvision_stub_deform_matches_numpy_reference():
+    """The stub's deform_conv2d (NCHW) against test_deform's independent
+    NHWC numpy reference."""
+    from test_deform import _numpy_deform
+
+    rng = np.random.default_rng(0)
+    b, h, w, c, o, k = 2, 6, 6, 3, 4, 3
+    x = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    offset = (rng.standard_normal((b, h, w, 2 * k * k)) * 1.5).astype(
+        np.float32)
+    mask = rng.uniform(0.2, 1.0, (b, h, w, k * k)).astype(np.float32)
+    weight = rng.standard_normal((k, k, c, o)).astype(np.float32) * 0.2
+    bias = rng.standard_normal(o).astype(np.float32)
+
+    want = _numpy_deform(x, offset, mask, weight, bias, stride=1, padding=1)
+
+    _install_torchvision_stub()
+    import torchvision
+
+    got = torchvision.ops.deform_conv2d(
+        input=torch.from_numpy(np.transpose(x, (0, 3, 1, 2)).copy()),
+        offset=torch.from_numpy(np.transpose(offset, (0, 3, 1, 2)).copy()),
+        weight=torch.from_numpy(np.transpose(weight, (3, 2, 0, 1)).copy()),
+        bias=torch.from_numpy(bias),
+        stride=(1, 1), padding=(1, 1), dilation=(1, 1),
+        mask=torch.from_numpy(np.transpose(mask, (0, 3, 1, 2)).copy()))
+    got = np.transpose(got.numpy(), (0, 2, 3, 1))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_raunet_parity():
+    ref_mod = load_ref_module("raunet")
+    torch.manual_seed(0)
+    ref = ref_mod.RAUNet(num_classes=1, in_channels=3, pretrained=False)
+    ref.eval()
+
+    variables = CONVERTERS["raunet"](_np_sd(ref.state_dict()))
+    model = create_model("raunet", image_size=64)
+
+    x = np.random.default_rng(1).standard_normal((1, 64, 64, 3)).astype(
+        np.float32)
+    ours = np.asarray(model.apply(variables, jnp.asarray(x))["main"])
+    theirs = run_torch(ref, x)
+    assert ours.shape == theirs.shape
+    assert np.max(np.abs(ours - theirs)) < 1e-3, np.max(np.abs(ours - theirs))
+
+
+@pytest.mark.slow
+def test_wranet_parity():
+    ref_mod = load_ref_module("wranet")
+    torch.manual_seed(0)
+    ref = ref_mod.WRANet(in_channels=3, num_classes=1, feature_channels=32)
+    ref.eval()
+
+    variables = CONVERTERS["wranet"](_np_sd(ref.state_dict()))
+    model = create_model("wranet", feature_channels=32)
+
+    x = np.random.default_rng(2).standard_normal((1, 64, 64, 3)).astype(
+        np.float32)
+    ours = np.asarray(model.apply(variables, jnp.asarray(x))["main"])
+    theirs = run_torch(ref, x)
+    assert ours.shape == theirs.shape
+    assert np.max(np.abs(ours - theirs)) < 1e-3, np.max(np.abs(ours - theirs))

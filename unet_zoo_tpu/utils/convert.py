@@ -483,7 +483,15 @@ def convert_uctransnet(sd, num_heads: int = 4) -> Dict[str, Any]:
 
 
 def _ln(r: TorchReader, tkey: str):
-    return {"scale": r._get(f"{tkey}.weight"), "bias": r._get(f"{tkey}.bias")}
+    """LayerNorm params; torch shapes like [C,1,1] (raunet's AAM uses
+    nn.LayerNorm([C,1,1]) over [B,C,1,1] pooled maps — channel-only in
+    effect) squeeze to flax's 1-D [C]."""
+    w = r._get(f"{tkey}.weight")
+    b = r._get(f"{tkey}.bias")
+    if w.ndim > 1:
+        w = w.reshape(w.shape[0])
+        b = b.reshape(b.shape[0])
+    return {"scale": w, "bias": b}
 
 
 def convert_swin_unet_v2(sd) -> Dict[str, Any]:

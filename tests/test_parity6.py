@@ -177,11 +177,8 @@ def test_mmunet_parity():
     np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-3)
 
 
-def test_da_transformer_parity():
-    ref_mod = load_ref_module("da_transformer")
-    size = 64
-    model = create_model("da_transformer")
-    x, variables = _init(model, size)
+def _build_da_ref(ref_mod, variables):
+    """Construct the reference DA_Transformer with our weights injected."""
     fp, fs = variables["params"], variables["batch_stats"]
 
     config = ref_mod.get_da_transformer_config()
@@ -232,8 +229,16 @@ def test_da_transformer_parity():
     put_conv(sd, "up_block6.1", fp["up_block6_conv"])
     put_conv(sd, "outc", fp["outc"])
     tmodel.load_state_dict(sd, strict=True)
+    return tmodel
 
-    got = _flax_forward(model, variables, x)
+
+def test_da_transformer_parity():
+    ref_mod = load_ref_module("da_transformer")
+    size = 64
+    model = create_model("da_transformer")
+    x, variables = _init(model, size)
+    tmodel = _build_da_ref(ref_mod, variables)
+
     # reference upsamples to hard-coded 512 (quirk); ours targets input size.
     # Compare at the reference's output by resizing ours is wrong — instead
     # run the torch model and downsample its 512 output back? No: compare
@@ -252,3 +257,19 @@ def test_da_transformer_parity():
     got = _flax_forward(model, variables, x)
     # looser tolerance: different final-resize targets (512->64 vs 128->64)
     np.testing.assert_allclose(got, ref, atol=5e-2, rtol=5e-2)
+
+
+@pytest.mark.slow
+def test_da_transformer_parity_512_exact():
+    """At 512px input the reference's hard-coded 512-resize coincides with
+    our input-size resize, so full 1e-3 parity is expected (ref
+    da_transformer.py:333)."""
+    ref_mod = load_ref_module("da_transformer")
+    model = create_model("da_transformer")
+    x, variables = _init(model, 512, batch=1)
+    tmodel = _build_da_ref(ref_mod, variables)
+
+    ref = run_torch(tmodel, x)
+    got = _flax_forward(model, variables, x)
+    assert got.shape == ref.shape == (1, 512, 512, 1)
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-3)

@@ -189,6 +189,32 @@ def load_ref_module(module_name: str):
     return importlib.import_module(f"refzoo.{module_name}")
 
 
+def load_ref_module_repaired(module_name: str, repairs):
+    """Load a reference model file with minimal in-memory textual repairs
+    (the read-only file is untouched): for each (anchor, insertion) pair,
+    ``insertion`` is inserted as a new line right after the first source
+    line containing ``anchor``. Used to parity-test models whose reference
+    has a construction-breaking bug (egeunet quirk Q2: GHPA lacks
+    ``super().__init__()``, ref egeunet.py:100-104)."""
+    _install_timm_stub()
+    _install_torchvision_stub()
+    path = f"{REF_MODELS_PATH}/{module_name}.py"
+    lines = open(path).read().splitlines()
+    for anchor, insertion in repairs:
+        for i, line in enumerate(lines):
+            if anchor in line:
+                lines.insert(i + 1, insertion)
+                break
+        else:
+            raise AssertionError(f"repair anchor not found: {anchor!r}")
+    mod = types.ModuleType(f"refzoo.{module_name}_repaired")
+    mod.__package__ = "refzoo"
+    mod.__file__ = path
+    sys.modules[mod.__name__] = mod
+    exec(compile("\n".join(lines), path, "exec"), mod.__dict__)
+    return mod
+
+
 # ---- weight injection helpers (flax → torch) --------------------------------
 
 

@@ -49,8 +49,17 @@ def test_egeunet_reference_is_broken():
         ref_mod.EGEUNet(in_channels=3, num_classes=1, image_size=64)
 
 
-def _unused_egeunet_parity():
-    ref_mod = load_ref_module("egeunet")
+@pytest.mark.slow
+def test_egeunet_parity_repaired_reference():
+    """Direct parity against the reference repaired with the ONE missing
+    line (GHPA's super().__init__(), quirk Q2) — the in-memory repair
+    leaves the read-only reference untouched and changes no math."""
+    from parity_utils import load_ref_module_repaired
+
+    ref_mod = load_ref_module_repaired(
+        "egeunet",
+        [("def __init__(self, dim_in, dim_out, x_res=8, y_res=8):",
+          "        super().__init__()")])
     size = 64
     model = create_model("egeunet", image_size=size)
     x, variables = _init(model, size)

@@ -217,6 +217,9 @@ class EGEUNet(nn.Module):
         ]
         skips = [t4, t3, t2, t1]
         out = out5
+        xh = t5  # GAB xh chains through the *updated* skips (ref :281-310:
+        # t4 = GAB4(t5, t4, ...), t3 = GAB3(t4, t3, ...) — not the decoder
+        # outputs)
         for i, (dec_name, bn_name, cin, cout, res, gt_name, gab_name, scale) in enumerate(specs):
             if dec_name is not None:
                 d = GHPA(cin, cout, res, res, dtype=dt, name=dec_name)(out, train)
@@ -226,7 +229,8 @@ class EGEUNet(nn.Module):
             pre = gt_conv(gt_name)(d) if self.gt_ds else None
             skip = skips[i]
             if self.bridge:
-                skip = gab(cout, gab_name)(out, skip, mask_for(pre, skip), train)
+                skip = gab(cout, gab_name)(xh, skip, mask_for(pre, skip), train)
+            xh = skip
             out = d + skip
             if self.gt_ds:
                 sides[f"side{4 - i}"] = resize_bilinear(

@@ -86,3 +86,84 @@ def test_wranet_parity():
     theirs = run_torch(ref, x)
     assert ours.shape == theirs.shape
     assert np.max(np.abs(ours - theirs)) < 1e-3, np.max(np.abs(ours - theirs))
+
+
+@pytest.mark.slow
+def test_medt_logo_parity():
+    """Direct parity for the superset entry: the reference's dead-code
+    LoGo dual-branch class (ref medt_net.py:510-664, never instantiated
+    by the reference registry) vs our MedTLoGo, at the one image size its
+    img_size_p computation is consistent for (128)."""
+    from parity_utils import load_ref_module, put_bn, put_conv
+
+    ref_mod = load_ref_module("medt_net")
+    size = 128
+    model = create_model("medt_logo", image_size=size)
+    x = np.random.default_rng(3).standard_normal((1, size, size, 3)).astype(
+        np.float32)
+    variables = model.init(__import__("jax").random.PRNGKey(0),
+                           jnp.asarray(x))
+    fp, fs = variables["params"], variables["batch_stats"]
+
+    tmodel = ref_mod.medt_net(ref_mod.AxialBlock_dynamic,
+                              ref_mod.AxialBlock_wopos, [1, 2, 4, 1],
+                              s=0.125, img_size=size, in_channels=3,
+                              num_classes=1)
+    sd = {k: v.clone() for k, v in tmodel.state_dict().items()}
+
+    def put_axial(tprefix, f, s, gated):
+        k = np.asarray(f["qkv"]["kernel"])
+        sd[f"{tprefix}.qkv_transform.conv.weight"] = torch.from_numpy(
+            k.T[:, :, None].copy())
+        put_bn(sd, f"{tprefix}.bn_qkv", f["bn_qkv"], s["bn_qkv"])
+        put_bn(sd, f"{tprefix}.bn_similarity", f["bn_similarity"],
+               s["bn_similarity"])
+        put_bn(sd, f"{tprefix}.bn_output", f["bn_output"], s["bn_output"])
+        if gated:
+            sd[f"{tprefix}.relative"] = torch.from_numpy(
+                np.asarray(f["relative"]).copy())
+            for g in ("f_qr", "f_kr", "f_sv", "f_sve"):
+                sd[f"{tprefix}.{g}"] = torch.tensor(float(np.asarray(f[g])))
+
+    def put_block(tprefix, f, s, gated):
+        put_conv(sd, f"{tprefix}.conv_down", f["conv_down"], bias=False)
+        put_bn(sd, f"{tprefix}.bn1", f["bn1"], s["bn1"])
+        put_axial(f"{tprefix}.hight_block", f["hight_block"],
+                  s["hight_block"], gated)
+        put_axial(f"{tprefix}.width_block", f["width_block"],
+                  s["width_block"], gated)
+        put_conv(sd, f"{tprefix}.conv_up", f["conv_up"], bias=False)
+        put_bn(sd, f"{tprefix}.bn2", f["bn2"], s["bn2"])
+        if "downsample_conv" in f:
+            put_conv(sd, f"{tprefix}.downsample.0", f["downsample_conv"],
+                     bias=False)
+            put_bn(sd, f"{tprefix}.downsample.1", f["downsample_bn"],
+                   s["downsample_bn"])
+
+    def put_stem(tsuffix, fname):
+        for c in (1, 2, 3):
+            put_conv(sd, f"conv{c}{tsuffix}", fp[fname][f"conv{c}"],
+                     bias=False)
+            put_bn(sd, f"bn{c}{tsuffix}", fp[fname][f"bn{c}"],
+                   fs[fname][f"bn{c}"])
+
+    put_stem("", "stem")
+    put_stem("_p", "stem_p")
+    for lname, blocks, gated in (("layer1", 1, True), ("layer2", 2, True),
+                                 ("layer1_p", 1, False),
+                                 ("layer2_p", 2, False),
+                                 ("layer3_p", 4, False),
+                                 ("layer4_p", 1, False)):
+        for bi in range(blocks):
+            put_block(f"{lname}.{bi}", fp[f"{lname}_{bi}"],
+                      fs[f"{lname}_{bi}"], gated)
+    for d in ("decoder4", "decoder5", "decoder1_p", "decoder2_p",
+              "decoder3_p", "decoder4_p", "decoder5_p", "decoderf",
+              "adjust"):
+        put_conv(sd, d, fp[d])
+    tmodel.load_state_dict(sd, strict=True)
+
+    ours = np.asarray(model.apply(variables, jnp.asarray(x))["main"])
+    theirs = run_torch(tmodel, x)
+    assert ours.shape == theirs.shape
+    assert np.max(np.abs(ours - theirs)) < 1e-3, np.max(np.abs(ours - theirs))

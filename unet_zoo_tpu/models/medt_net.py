@@ -528,7 +528,15 @@ class MedTLoGo(nn.Module):
         xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(
             b * nh * nw, p, p, self.in_channels)
 
-        lp = _LoGoStem(inplanes, dtype=dt, name="stem_p")(xp, train)
+        # Reference quirk reproduced: the local stem is constructed AFTER
+        # the global _make_layer calls mutated self.inplanes (ref :548,
+        # following :542-543), so conv1_p..conv3_p output int(256*s)*exp
+        # (=64 at s=0.125) channels, not the global stem's int(64*s) (=8)
+        # — the local branch is 8x wider than a symmetric design, and
+        # layer1_p starts with a 64->32 downsample. Verified by direct
+        # parity (tests/test_parity7.py::test_medt_logo_parity).
+        inplanes_p = int(256 * s) * expansion
+        lp = _LoGoStem(inplanes_p, dtype=dt, name="stem_p")(xp, train)
         ks0 = p // 2  # 16: actual post-stem patch axis length
         x1p = axial_stage(lp, int(128 * s), self.layers[0], 1, ks0,
                           self.mode_local, "layer1_p")

@@ -167,3 +167,49 @@ def test_medt_logo_parity():
     theirs = run_torch(tmodel, x)
     assert ours.shape == theirs.shape
     assert np.max(np.abs(ours - theirs)) < 1e-3, np.max(np.abs(ours - theirs))
+
+
+@pytest.mark.slow
+def test_egeunet_converter_parity():
+    """torch->flax converter path for egeunet: the Q2-repaired reference's
+    own state_dict converted and compared at 1e-3."""
+    from parity_utils import load_ref_module_repaired
+
+    ref_mod = load_ref_module_repaired(
+        "egeunet",
+        [("def __init__(self, dim_in, dim_out, x_res=8, y_res=8):",
+          "        super().__init__()")])
+    torch.manual_seed(1)
+    ref = ref_mod.EGEUNet(in_channels=3, num_classes=1, image_size=64)
+    ref.eval()
+
+    variables = CONVERTERS["egeunet"](_np_sd(ref.state_dict()))
+    model = create_model("egeunet", image_size=64)
+    x = np.random.default_rng(4).standard_normal((1, 64, 64, 3)).astype(
+        np.float32)
+    ours = np.asarray(model.apply(variables, jnp.asarray(x))["main"])
+    theirs = run_torch(ref, x)
+    assert np.max(np.abs(ours - theirs)) < 1e-3, np.max(np.abs(ours - theirs))
+
+
+@pytest.mark.slow
+def test_medt_logo_converter_parity():
+    """torch->flax converter path for medt_logo: the reference dead-code
+    class's own state_dict converted and compared at 1e-3."""
+    from parity_utils import load_ref_module
+
+    ref_mod = load_ref_module("medt_net")
+    torch.manual_seed(2)
+    ref = ref_mod.medt_net(ref_mod.AxialBlock_dynamic,
+                           ref_mod.AxialBlock_wopos, [1, 2, 4, 1],
+                           s=0.125, img_size=128, in_channels=3,
+                           num_classes=1)
+    ref.eval()
+
+    variables = CONVERTERS["medt_logo"](_np_sd(ref.state_dict()))
+    model = create_model("medt_logo", image_size=128)
+    x = np.random.default_rng(5).standard_normal((1, 128, 128, 3)).astype(
+        np.float32)
+    ours = np.asarray(model.apply(variables, jnp.asarray(x))["main"])
+    theirs = run_torch(ref, x)
+    assert np.max(np.abs(ours - theirs)) < 1e-3, np.max(np.abs(ours - theirs))

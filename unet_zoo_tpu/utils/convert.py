@@ -2,12 +2,13 @@
 framework's variables, so users migrating from `unet_zoo` keep their
 trained weights.
 
-Supported: 22 of the 24 registry names — every model the reference can
-produce a checkpoint for (egeunet's reference crashes on construction,
-quirk Q2, so no checkpoints of it exist; 'logo' uses the 'gated'
-converter layout). Verified by torch-random-init round-trip logit tests
-(20 models, tests/test_convert.py) and structural inverse tests for
-raunet/wranet (whose reference needs torchvision to run).
+Supported: all 25 registry names. egeunet checkpoints come from the
+original EGE-UNet repo (the unet_zoo reference crashes on construction,
+quirk Q2); medt_logo checkpoints from the original MedT repo (dead code
+in the reference). Verified by torch-random-init round-trip logit tests
+(tests/test_convert.py, tests/test_parity7.py) including converter-path
+parity for raunet/wranet/egeunet/medt_logo against the actual reference
+modules (with the pure-torch torchvision stub).
 
 CLI::
 
@@ -373,47 +374,73 @@ def convert_vnet(sd) -> Dict[str, Any]:
     return {"params": p}
 
 
+def _axial_attn(r: TorchReader, tkey: str):
+    ap, asx = {}, {}
+    k = r._get(f"{tkey}.qkv_transform.conv.weight")  # [out, in, 1]
+    ap["qkv"] = {"kernel": k[:, :, 0].T.copy()}
+    for bn_name in ("bn_qkv", "bn_similarity", "bn_output"):
+        bp, bs = r.bn(f"{tkey}.{bn_name}")
+        ap[bn_name], asx[bn_name] = bp, bs
+    if f"{tkey}.relative" in r.sd:
+        ap["relative"] = r._get(f"{tkey}.relative")
+    for g in ("f_qr", "f_kr", "f_sv", "f_sve"):
+        if f"{tkey}.{g}" in r.sd:
+            ap[g] = np.asarray(r._get(f"{tkey}.{g}"))
+    return ap, asx
+
+
+def _axial_block(r: TorchReader, t: str):
+    bp, bs = {}, {}
+    bp["conv_down"] = r.conv(f"{t}.conv_down", bias=False)
+    bp["bn1"], bs["bn1"] = r.bn(f"{t}.bn1")
+    bp["hight_block"], bs["hight_block"] = _axial_attn(r, f"{t}.hight_block")
+    bp["width_block"], bs["width_block"] = _axial_attn(r, f"{t}.width_block")
+    bp["conv_up"] = r.conv(f"{t}.conv_up", bias=False)
+    bp["bn2"], bs["bn2"] = r.bn(f"{t}.bn2")
+    if f"{t}.downsample.0.weight" in r.sd:
+        bp["downsample_conv"] = r.conv(f"{t}.downsample.0", bias=False)
+        bp["downsample_bn"], bs["downsample_bn"] = r.bn(f"{t}.downsample.1")
+    return bp, bs
+
+
 def convert_medt_family(sd) -> Dict[str, Any]:
     """axialunet / gated / medt / logo (shared layout; variant-specific
     params like `relative` and the f_* gates are converted when present)."""
     r = TorchReader(sd)
     p, s = {}, {}
-
-    def axial(tkey):
-        ap, asx = {}, {}
-        k = r._get(f"{tkey}.qkv_transform.conv.weight")  # [out, in, 1]
-        ap["qkv"] = {"kernel": k[:, :, 0].T.copy()}
-        for bn_name in ("bn_qkv", "bn_similarity", "bn_output"):
-            bp, bs = r.bn(f"{tkey}.{bn_name}")
-            ap[bn_name], asx[bn_name] = bp, bs
-        if f"{tkey}.relative" in r.sd:
-            ap["relative"] = r._get(f"{tkey}.relative")
-        for g in ("f_qr", "f_kr", "f_sv", "f_sve"):
-            if f"{tkey}.{g}" in r.sd:
-                ap[g] = np.asarray(r._get(f"{tkey}.{g}"))
-        return ap, asx
-
     for c in (1, 2, 3):
         p[f"conv{c}"] = r.conv(f"conv{c}", bias=False)
         p[f"bn{c}"], s[f"bn{c}"] = r.bn(f"bn{c}")
     for li, blocks in enumerate((1, 2, 4, 1)):
         for bi in range(blocks):
-            t = f"layer{li + 1}.{bi}"
-            bp, bs = {}, {}
-            bp["conv_down"] = r.conv(f"{t}.conv_down", bias=False)
-            bp["bn1"], bs["bn1"] = r.bn(f"{t}.bn1")
-            bp["hight_block"], bs["hight_block"] = axial(f"{t}.hight_block")
-            bp["width_block"], bs["width_block"] = axial(f"{t}.width_block")
-            bp["conv_up"] = r.conv(f"{t}.conv_up", bias=False)
-            bp["bn2"], bs["bn2"] = r.bn(f"{t}.bn2")
-            if f"{t}.downsample.0.weight" in r.sd:
-                bp["downsample_conv"] = r.conv(f"{t}.downsample.0", bias=False)
-                bp["downsample_bn"], bs["downsample_bn"] = r.bn(
-                    f"{t}.downsample.1")
+            bp, bs = _axial_block(r, f"layer{li + 1}.{bi}")
             p[f"layer{li + 1}_{bi}"], s[f"layer{li + 1}_{bi}"] = bp, bs
     for d in (1, 2, 3, 4):
         p[f"decoder{d}"] = r.conv(f"decoder{d}")
     p["final_conv"] = r.conv("final_conv")
+    return {"params": p, "batch_stats": s}
+
+
+def convert_medt_logo(sd) -> Dict[str, Any]:
+    """The LoGo dual-branch net (reference dead-code class medt_net
+    :510-664; checkpoints of it come from the original MedT repo)."""
+    r = TorchReader(sd)
+    p, s = {}, {}
+    for suffix, fname in (("", "stem"), ("_p", "stem_p")):
+        sp, ss = {}, {}
+        for c in (1, 2, 3):
+            sp[f"conv{c}"] = r.conv(f"conv{c}{suffix}", bias=False)
+            sp[f"bn{c}"], ss[f"bn{c}"] = r.bn(f"bn{c}{suffix}")
+        p[fname], s[fname] = sp, ss
+    for lname, blocks in (("layer1", 1), ("layer2", 2), ("layer1_p", 1),
+                          ("layer2_p", 2), ("layer3_p", 4), ("layer4_p", 1)):
+        for bi in range(blocks):
+            bp, bs = _axial_block(r, f"{lname}.{bi}")
+            p[f"{lname}_{bi}"], s[f"{lname}_{bi}"] = bp, bs
+    for d in ("decoder4", "decoder5", "decoder1_p", "decoder2_p",
+              "decoder3_p", "decoder4_p", "decoder5_p", "decoderf",
+              "adjust"):
+        p[d] = r.conv(d)
     return {"params": p, "batch_stats": s}
 
 
@@ -656,6 +683,69 @@ def convert_unext(sd) -> Dict[str, Any]:
     for d in (1, 2, 3):
         p[f"decoder_level{d}"] = r.conv(f"decoder_level{d}")
     p["final_conv"] = r.conv("final_conv")
+    return {"params": p}
+
+
+def convert_egeunet(sd) -> Dict[str, Any]:
+    """EGE-UNet (no batch stats; checkpoints come from the original
+    EGE-UNet repo — the unet_zoo reference itself crashes on
+    construction, quirk Q2)."""
+    r = TorchReader(sd)
+    p: Dict[str, Any] = {}
+
+    def ln(tkey):
+        return {"scale": r._get(f"{tkey}.weight"),
+                "bias": r._get(f"{tkey}.bias")}
+
+    def conv1d(tkey):
+        # torch Conv1d weight [out, in_g, k] -> flax (1,k) conv [1,k,in_g,out]
+        w = r._get(f"{tkey}.weight")
+        out = {"kernel": w.transpose(2, 1, 0)[None].copy()}
+        if f"{tkey}.bias" in r.sd:
+            out["bias"] = r._get(f"{tkey}.bias")
+        return out
+
+    def ghpa(t):
+        g: Dict[str, Any] = {"norm1": ln(f"{t}.norm1"),
+                             "norm2": ln(f"{t}.norm2")}
+        # param grids: torch [1,c,a,b] / [1,1,c,L] -> flax [1,a,b,c] / [1,c,L,1]
+        g["params_xy"] = r._get(f"{t}.params_xy").transpose(0, 2, 3, 1).copy()
+        g["params_zx"] = r._get(f"{t}.params_zx").transpose(0, 2, 3, 1).copy()
+        g["params_zy"] = r._get(f"{t}.params_zy").transpose(0, 2, 3, 1).copy()
+        g["conv_xy_dw"] = r.conv(f"{t}.conv_xy.0")
+        g["conv_xy_pw"] = r.conv(f"{t}.conv_xy.2")
+        g["conv_zx_dw"] = conv1d(f"{t}.conv_zx.0")
+        g["conv_zx_pw"] = conv1d(f"{t}.conv_zx.2")
+        g["conv_zy_dw"] = conv1d(f"{t}.conv_zy.0")
+        g["conv_zy_pw"] = conv1d(f"{t}.conv_zy.2")
+        g["dw_pw"] = r.conv(f"{t}.dw.0")
+        g["dw_dw"] = r.conv(f"{t}.dw.2")
+        g["ldw_dw"] = r.conv(f"{t}.ldw.0")
+        g["ldw_pw"] = r.conv(f"{t}.ldw.2")
+        return g
+
+    for i in (1, 2, 3):
+        p[f"encoder{i}"] = r.conv(f"encoder{i}.0")
+    for i in (4, 5, 6):
+        p[f"encoder{i}"] = ghpa(f"encoder{i}.0")
+    for i in (1, 2, 3, 4, 5):
+        p[f"ebn{i}"] = ln(f"ebn{i}")
+        p[f"dbn{i}"] = ln(f"dbn{i}")
+        p[f"gt_conv{i}"] = r.conv(f"gt_conv{i}.0")
+    for i in (1, 2, 3):
+        p[f"decoder{i}"] = ghpa(f"decoder{i}.0")
+    for i in (4, 5):
+        p[f"decoder{i}"] = r.conv(f"decoder{i}.0")
+    for g in (1, 2, 3, 4, 5):
+        t = f"GAB{g}"
+        gp: Dict[str, Any] = {"pre_project": r.conv(f"{t}.pre_project")}
+        for k in range(4):
+            gp[f"g{k}_norm"] = ln(f"{t}.g{k}.0")
+            gp[f"g{k}_conv"] = r.conv(f"{t}.g{k}.1")
+        gp["tail_norm"] = ln(f"{t}.tail_conv.0")
+        gp["tail_conv"] = r.conv(f"{t}.tail_conv.1")
+        p[t] = gp
+    p["final"] = r.conv("final")
     return {"params": p}
 
 
@@ -933,6 +1023,8 @@ CONVERTERS = {
     "unext_s": convert_unext,
     "mmunet": convert_mmunet,
     "da_transformer": convert_da_transformer,
+    "egeunet": convert_egeunet,
+    "medt_logo": convert_medt_logo,
     "raunet": convert_raunet,
     "wranet": convert_wranet,
 }

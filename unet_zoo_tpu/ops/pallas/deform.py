@@ -75,12 +75,26 @@ def _pick_nb(n: int, c: int, cb: int, hpwp: int) -> int:
 
 
 def use_pallas_deform(x_shape, k: int, stride: int, dilation: int) -> bool:
-    """Fast-path gate: wranet's production shape class on a real TPU."""
-    if jax.default_backend() != "tpu":
-        return False
-    b, h, w, c = x_shape
-    return (k == 3 and stride == 1 and dilation == 1
-            and c % 32 == 0 and (h * w) % 512 == 0)
+    """Auto-enable gate: always False — definitive on-chip no-go (round 3).
+
+    Measured on v5e (see BENCH_NOTES "deform kernel no-go"): the kernel's
+    in-kernel row gather cannot lower on real Mosaic. Two structural
+    constraints, confirmed by `_probe_gather.py` on-chip:
+
+    * ``tpu.dynamic_gather`` only shuffles within ONE vreg along the
+      gather dimension ("Not implemented: Multiple source vregs along
+      gather dimension") — 8 sublanes for f32 — so a [Hp*Wp, C] table
+      with tens of thousands of rows is unreachable at vector rate; and
+    * channel-sliced table blocks need a last-dim of 128 (or the full
+      array dim), so the [*, *, 32] channel slicing the VMEM budget
+      needs is rejected by the BlockSpec checker on real hardware.
+
+    Interpret mode (CPU tests) validates semantics only. The XLA
+    quad-pack gather path (ops/deform.py, 89.8 img/s wranet b16) stands
+    as the production path.
+    """
+    del x_shape, k, stride, dilation
+    return False
 
 
 def deform_conv2d_pallas(

@@ -99,7 +99,10 @@ class AxialAttention(nn.Module):
     gated variant's scalar gates fold into affine scale/shift (measured
     1.66x on `gated` at b32/256px v5e). Default (None) = auto: on for
     TPU backends, off on CPU (tests/parity take the XLA path). Training
-    always uses the XLA path (batch statistics)."""
+    auto-uses the XLA path: the fused train kernel (exact custom-VJP,
+    ops/pallas/axial_train.py) measured 0.78x vs XLA in-model (gated
+    train b16 256px v5e) — explicit ``use_pallas=True`` still routes
+    training through it (parity tests, future hardware)."""
 
     out_planes: int
     groups: int = 8
@@ -156,11 +159,16 @@ class AxialAttention(nn.Module):
                 out = avg_pool2d(out, self.stride, self.stride)
             return out
 
-        if (use_pallas and train and self.mode != "wopos"
+        if (self.use_pallas is True and train and self.mode != "wopos"
                 and length <= 128 and not self.is_initializing()):
             # fused train path: batch-stat BN with exact custom-VJP
             # gradients (ops/pallas/axial_train.py); output BN + gates
-            # run in XLA below on length-sized tensors
+            # run in XLA below on length-sized tensors. Explicit opt-in
+            # only — measured SLOWER than XLA in-model (gated train b16
+            # 256px v5e: 29.8 img/s fused vs 38.4 XLA): the two-pass
+            # stats + two-pass VJP recompute the L x L sim maps 4x on
+            # the VPU (cdim 1-2 outer products, no MXU work to win),
+            # while XLA materializes them once. BENCH_NOTES round 3.
             out = self._fused_train_path(q, k, v, length, g, gp, ks)
         elif self.mode == "wopos":
             sim = jnp.einsum("bigc,bjgc->bijg", q, k)

@@ -71,7 +71,8 @@ def main():
     num_classes = ev.get("num_classes", 1)
     num_samples = ev.get("visualization_samples", 5)
 
-    test_ds = BoneDataset(data["dataset_dir"], "test", image_size=image_size)
+    test_ds = BoneDataset(data["dataset_dir"], "test", image_size=image_size,
+                          transfer_dtype=data.get("transfer_dtype", "uint8"))
     test_loader = create_loader(test_ds, batch_size,
                                 num_workers=data.get("num_workers", 4),
                                 backend=data.get("loader", "native"))

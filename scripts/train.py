@@ -111,10 +111,12 @@ def main():
     train_dataset = BoneDataset(config.DATASET_DIR, split="train",
                                 image_size=config.IMAGE_SIZE,
                                 augment=config.AUGMENT and not config.AUGMENT_ON_DEVICE,
-                                cache=config.CACHE_DATA)
+                                cache=config.CACHE_DATA,
+                                transfer_dtype=config.TRANSFER_DTYPE)
     val_dataset = BoneDataset(config.DATASET_DIR, split="valid",
                               image_size=config.IMAGE_SIZE,
-                              cache=config.CACHE_DATA)
+                              cache=config.CACHE_DATA,
+                              transfer_dtype=config.TRANSFER_DTYPE)
     logger.log_both(f"Train dataset size: {len(train_dataset)}")
     logger.log_both(f"Validation dataset size: {len(val_dataset)}")
 

@@ -108,10 +108,14 @@ def main():
     check_dataset_integrity(config.DATASET_DIR, logger)
     train_ds = BoneDataset(config.DATASET_DIR, "train",
                            image_size=config.IMAGE_SIZE,
-                           augment=config.AUGMENT and not config.AUGMENT_ON_DEVICE, cache=config.CACHE_DATA)
+                           augment=config.AUGMENT and not config.AUGMENT_ON_DEVICE, cache=config.CACHE_DATA,
+                           transfer_dtype=config.TRANSFER_DTYPE)
     val_ds = BoneDataset(config.DATASET_DIR, "valid",
-                         image_size=config.IMAGE_SIZE, cache=config.CACHE_DATA)
-    test_ds = BoneDataset(config.DATASET_DIR, "test", image_size=config.IMAGE_SIZE)
+                         image_size=config.IMAGE_SIZE, cache=config.CACHE_DATA,
+                         transfer_dtype=config.TRANSFER_DTYPE)
+    test_ds = BoneDataset(config.DATASET_DIR, "test",
+                          image_size=config.IMAGE_SIZE,
+                          transfer_dtype=config.TRANSFER_DTYPE)
     train_loader = create_loader(train_ds, config.BATCH_SIZE, shuffle=True,
                                  drop_last=True,
                                  num_workers=config.NUM_WORKERS,

@@ -30,6 +30,11 @@ class Config:
         self.CACHE_DATA = d["data"].get("cache", False)
         # host input pipeline: 'native' (thread/process pools) or 'grain'
         self.LOADER = d["data"].get("loader", "native")
+        # host->device transfer dtype: 'uint8' ships raw pixels and
+        # normalizes inside the compiled step (4x fewer bytes, identical
+        # f32 math — the standard TPU input-pipeline recipe); 'float32'
+        # is the reference-faithful host-side normalize
+        self.TRANSFER_DTYPE = d["data"].get("transfer_dtype", "uint8")
 
         t = d["training"]
         self.EPOCHS = t["epochs"]

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import optax
 from flax.training import train_state
 
+from unet_zoo_tpu.data.datasets import prepare_images, prepare_masks
 from unet_zoo_tpu.models import ZooModel
 from unet_zoo_tpu.train.losses import bce_with_logits, multi_output_loss
 from unet_zoo_tpu.train.metrics import dice_coefficient
@@ -105,6 +106,9 @@ def make_train_step(model: ZooModel,
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, images: jnp.ndarray, masks: jnp.ndarray
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        # uint8-transferred batches normalize here, fused into the first
+        # conv by XLA (jit specializes on dtype: zero cost for f32 input)
+        images, masks = prepare_images(images), prepare_masks(masks)
         dropout_rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
         if augment:
             from unet_zoo_tpu.data.augment import random_flips
@@ -131,6 +135,7 @@ def make_eval_step(model: ZooModel,
 
     @jax.jit
     def eval_step(variables, images, masks):
+        images, masks = prepare_images(images), prepare_masks(masks)
         outputs = model.module.apply(variables, images, train=False)
         loss = multi_output_loss(outputs, masks, model.loss_weight, criterion)
         dice = dice_coefficient(outputs["main"], masks)

@@ -17,7 +17,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from unet_zoo_tpu.data.datasets import IMAGENET_MEAN, IMAGENET_STD
+from unet_zoo_tpu.data.datasets import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    prepare_images,
+    prepare_masks,
+)
 from unet_zoo_tpu.models import create_model
 from unet_zoo_tpu.train.metrics import dice_coefficient
 from unet_zoo_tpu.utils.checkpoint import checkpoint_exists, load_checkpoint
@@ -90,8 +95,11 @@ def visualize_inference_comparison(
         for i in range(num_samples):
             idx = rng.randint(0, len(dataset) - 1)
             img, mask, path_str = dataset[idx]
-            img_batch = jnp.asarray(img)[None]
-            mask_batch = jnp.asarray(mask)[None]
+            # uint8-transfer datasets normalize on device (prepare_images);
+            # f32 datasets arrive pre-normalized — both paths feed the
+            # model identical values
+            img_batch = prepare_images(jnp.asarray(img)[None])
+            mask_batch = prepare_masks(jnp.asarray(mask)[None])
 
             sample_dices, preds = {}, {}
             for name, (apply_fn, variables) in loaded.items():
@@ -111,7 +119,11 @@ def visualize_inference_comparison(
             logger.log_both(text)
             f.write(text)
 
-            img_disp = np.clip(np.asarray(img) * IMAGENET_STD + IMAGENET_MEAN, 0, 1)
+            if np.asarray(img).dtype == np.uint8:
+                img_disp = np.asarray(img).astype(np.float32) / 255.0
+            else:
+                img_disp = np.clip(
+                    np.asarray(img) * IMAGENET_STD + IMAGENET_MEAN, 0, 1)
             num_cols = 2 + len(loaded)
             plt.figure(figsize=(num_cols * 5, 5))
             plt.subplot(1, num_cols, 1)

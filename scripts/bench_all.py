@@ -28,7 +28,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # (model -> batch) exceptions; 32 otherwise.
 SMALL_BATCH = {"wranet": 16, "mmunet": 16, "medt_logo": 16}
 TRAIN_SMALL_BATCH = {"wranet": 8, "mmunet": 8, "medt_logo": 8,
-                     "axialunet": 16, "gated": 16, "logo": 16, "medt": 16}
+                     "axialunet": 16, "gated": 16, "logo": 16, "medt": 16,
+                     # b32 train OOMs (HLO temp) on 16G v5e: the MultiRes
+                     # blocks' twice-applied BN doubles live activations
+                     "multiresunet": 16}
 
 
 def list_model_names():

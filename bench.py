@@ -100,10 +100,12 @@ def bench_model(model_name: str, batch: int, size: int, dtype_str: str,
                         rngs={"dropout": jax.random.PRNGKey(0)})
                     return multi_output_loss(out, mb, model.loss_weight), mut
 
-                if remat:
+                if remat or model.train_remat:
                     # recompute activations in the bwd pass: lets the
                     # memory-heavy members run the bench batch instead of
-                    # shrinking to b8-16
+                    # shrinking to b8-16; also the production default for
+                    # members whose backward is activation-traffic-bound
+                    # (ModelSpec.train_remat)
                     loss_fn = jax.checkpoint(loss_fn)
 
                 (loss, mut), grads = jax.value_and_grad(

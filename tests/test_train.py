@@ -180,3 +180,40 @@ def test_train_model_resume(tmp_path):
     restored = load_checkpoint(last)
     assert int(np.asarray(restored["step"])) == 8
     logger.close()
+
+
+def test_remat_train_step_matches_plain():
+    """jax.checkpoint is a pure scheduling change: the remat train step must
+    produce numerically identical updates to the plain one (the
+    ModelSpec.train_remat lever only trades FLOPs for activation memory)."""
+    model = create_model("unet")
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    masks = (jax.random.uniform(jax.random.PRNGKey(2), (2, 32, 32, 1)) > 0.5
+             ).astype(jnp.float32)
+
+    outs = []
+    for remat in (False, True):
+        state = create_train_state(model, rng, sample, learning_rate=1e-3)
+        step = make_train_step(model, remat=remat)
+        state, metrics = step(state, imgs, masks)
+        outs.append((metrics, state.params))
+    (m0, p0), (m1, p1) = outs
+    assert np.allclose(float(m0["loss"]), float(m1["loss"]), rtol=1e-6)
+    leaves0 = jax.tree_util.tree_leaves(p0)
+    leaves1 = jax.tree_util.tree_leaves(p1)
+    for a, b in zip(leaves0, leaves1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_train_remat_spec_plumbing():
+    """ModelSpec.train_remat defaults False and is exposed on ZooModel; the
+    loop passes it through to make_train_step (bench.py honors it too)."""
+    from unet_zoo_tpu.models import _REGISTRY, list_models
+
+    model = create_model("unet")
+    assert model.train_remat in (False, True)
+    for name in list_models():
+        assert isinstance(_REGISTRY[name].train_remat, bool)

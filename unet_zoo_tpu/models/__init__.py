@@ -52,6 +52,10 @@ class ModelSpec:
     # file-based pretrained-weight initialization (zero-egress replacement
     # for the reference's torchvision downloads, ref raunet.py:84-93).
     pretrained_loader: Optional[Callable[[str], Callable[[Any], Any]]] = None
+    # Default jax.checkpoint (remat) for this model's train step: set for
+    # members whose backward is activation-traffic-bound (measured wins
+    # only — see BENCH_NOTES). Callers can still override per run.
+    train_remat: bool = False
 
     def loss_weight(self, key: str) -> float:
         if key in self.loss_weights:
@@ -131,6 +135,10 @@ class ZooModel:
 
     def loss_weight(self, key: str) -> float:
         return self.spec.loss_weight(key)
+
+    @property
+    def train_remat(self) -> bool:
+        return self.spec.train_remat
 
 
 def create_model(model_name: str, pretrained: bool = False, **kwargs) -> ZooModel:

@@ -211,7 +211,8 @@ def train_model(
     # (host-side flips are disabled by the scripts in exactly that case)
     train_step = make_train_step(
         model, augment=(getattr(config, "AUGMENT", False)
-                        and getattr(config, "AUGMENT_ON_DEVICE", False)))
+                        and getattr(config, "AUGMENT_ON_DEVICE", False)),
+        remat=model.train_remat)
     eval_step = make_eval_step(model)
 
     train_losses: List[float] = []

@@ -228,15 +228,28 @@ class PatchExpand(nn.Module):
 
 
 class FinalPatchExpandX4(nn.Module):
-    """x4 token upsampling (ref :539-564)."""
+    """x4 token upsampling (ref :539-564).
+
+    ``defer_rearrange=True`` returns the grouped [B, H, W, 16, C] view
+    with the LN already applied per final pixel — exact (the
+    depth-to-space only reorders pixels; each pixel's C-vector is one
+    contiguous slice of the 16C expansion), so the caller can commute
+    the 1x1 head before the full-resolution rearrange. Same 'norm'
+    params either way."""
 
     dim: int
     dtype: Any = jnp.float32
+    defer_rearrange: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = nn.Dense(self.dim * 16, use_bias=False, dtype=self.dtype,
                      name="expand")(x)
+        if self.defer_rearrange:
+            b, h, w, _ = x.shape
+            x = x.reshape(b, h, w, 16, self.dim)
+            return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                name="norm")(x)
         x = _patch_expand_rearrange(x, 4, self.dim)
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
 
@@ -266,7 +279,26 @@ class SegUDecoder(nn.Module):
         h = MFBlock(self.head, self.reduction_ratio, dtype=dt,
                     name="layer_former_2")(h, train)
         if self.is_last:
-            h = FinalPatchExpandX4(self.out_dim, dtype=dt, name="layer_up")(h)
+            if not train:
+                # head-commuted final expand (eval only): LN + the 1x1
+                # head act per final pixel, so both run BEFORE the 4x4
+                # depth-to-space and only the num_classes-channel output
+                # pays the full-res rearrange. Exact reassociation; same
+                # 'layer_up/norm' + 'last_layer' param surface as the
+                # plain branch. Train keeps the plain form: the commuted
+                # head's tall-skinny dW backward measured -17% (v5e b32).
+                h = FinalPatchExpandX4(self.out_dim, dtype=dt,
+                                       defer_rearrange=True,
+                                       name="layer_up")(h)  # [b,hh,ww,16,c]
+                b, hh, ww, _, c = h.shape
+                out = nn.Conv(self.num_classes, (1, 1), dtype=dt,
+                              name="last_layer")(
+                    h.reshape(b, hh * ww * 16, 1, c))
+                out = out.reshape(b, hh, ww, 4, 4, self.num_classes)
+                return out.transpose(0, 1, 3, 2, 4, 5).reshape(
+                    b, hh * 4, ww * 4, self.num_classes)
+            h = FinalPatchExpandX4(self.out_dim, dtype=dt,
+                                   name="layer_up")(h)
             return nn.Conv(self.num_classes, (1, 1), dtype=dt,
                            name="last_layer")(h)
         return PatchExpand(self.out_dim, dtype=dt, name="layer_up")(h)

@@ -94,7 +94,8 @@ def main():
     config = Config(overall_config)
     logger = Logger(os.path.join(config.OVERALL_LOG_DIR, "overall_training_log.txt"))
 
-    mesh = (create_mesh_for_batch(config.BATCH_SIZE, config.device_count())
+    mesh = (create_mesh_for_batch(config.BATCH_SIZE, config.device_count(),
+                                  model_axis=config.MODEL_PARALLEL_SIZE)
         if config.USE_MULTI_GPU else None)
 
     logger.log_both("=" * 80)

@@ -101,7 +101,8 @@ def main():
         "run_timestamp", datetime.datetime.now().strftime("%Y%m%d-%H%M%S"))
     config = Config(overall_config)
     logger = Logger(os.path.join(config.OVERALL_LOG_DIR, "overall_pipeline_log.txt"))
-    mesh = (create_mesh_for_batch(config.BATCH_SIZE, config.device_count())
+    mesh = (create_mesh_for_batch(config.BATCH_SIZE, config.device_count(),
+                                  model_axis=config.MODEL_PARALLEL_SIZE)
         if config.USE_MULTI_GPU else None)
     model_names = overall_config["models"]["names"]
 

@@ -133,3 +133,78 @@ def test_sharded_eval_step():
     metrics = eval_step(variables_of(state), imgs, masks)
     assert np.isfinite(float(metrics["loss"]))
     assert metrics["main"].shape == (8, 32, 32, 1)
+
+
+@pytest.mark.parametrize("strategy,model_axis", [
+    ("DataParallel", 1), ("fsdp", 1), ("tensor_parallel", 2),
+])
+def test_train_model_strategy_dispatch(tmp_path, strategy, model_axis):
+    """gpu.multi_gpu_strategy selects the parameter placement end-to-end
+    through train_model (ref parses the key at config.py:30 but only ever
+    does DataParallel; here fsdp/tensor_parallel are first-class)."""
+    from unet_zoo_tpu.config import Config
+    from unet_zoo_tpu.data import SyntheticDataset
+    from unet_zoo_tpu.data.loader import DataLoader
+    from unet_zoo_tpu.parallel import create_mesh_for_batch
+    from unet_zoo_tpu.train.loop import train_model
+    from unet_zoo_tpu.utils.checkpoint import checkpoint_exists
+    from unet_zoo_tpu.utils.logger import Logger
+
+    cfg = Config({
+        "general": {"project_name": "t", "working_dir": str(tmp_path)},
+        "data": {"dataset_dir": "unused", "num_workers": 1, "image_size": 32},
+        "training": {
+            "epochs": 1, "batch_size": 4, "learning_rate": 1e-3,
+            "early_stopping_patience": 20, "lr_scheduler_patience": 8,
+            "lr_scheduler_factor": 0.2, "min_lr": 1e-7, "num_classes": 1,
+        },
+        "gpu": {"use_multi_gpu": True, "gpu_ids": [],
+                "single_gpu_id": 0, "multi_gpu_strategy": strategy},
+        "tpu": {"model_parallel_size": model_axis},
+    })
+    mesh = create_mesh_for_batch(cfg.BATCH_SIZE, max_devices=None,
+                                 model_axis=cfg.MODEL_PARALLEL_SIZE)
+    assert mesh.devices.shape[1] == model_axis
+    model = create_model("unet")
+    train_loader = DataLoader(SyntheticDataset(8, 32), batch_size=4,
+                              shuffle=True, drop_last=True)
+    val_loader = DataLoader(SyntheticDataset(4, 32, seed=1), batch_size=4)
+    logger = Logger(str(tmp_path / "log.txt"))
+    best = str(tmp_path / "b")
+    last = str(tmp_path / "l")
+    tl, td, vl, vd, _ = train_model(
+        model, train_loader, val_loader, cfg, "unet", best, last, logger,
+        mesh=mesh)
+    assert np.isfinite(tl[0]) and np.isfinite(vd[0])
+    assert checkpoint_exists(best) and checkpoint_exists(last)
+    logger.close()
+
+
+def test_train_model_unknown_strategy_raises(tmp_path):
+    from unet_zoo_tpu.config import Config
+    from unet_zoo_tpu.data import SyntheticDataset
+    from unet_zoo_tpu.data.loader import DataLoader
+    from unet_zoo_tpu.parallel import create_mesh_for_batch
+    from unet_zoo_tpu.train.loop import train_model
+    from unet_zoo_tpu.utils.logger import Logger
+
+    cfg = Config({
+        "general": {"project_name": "t", "working_dir": str(tmp_path)},
+        "data": {"dataset_dir": "unused", "num_workers": 1, "image_size": 32},
+        "training": {
+            "epochs": 1, "batch_size": 4, "learning_rate": 1e-3,
+            "early_stopping_patience": 20, "lr_scheduler_patience": 8,
+            "lr_scheduler_factor": 0.2, "min_lr": 1e-7, "num_classes": 1,
+        },
+        "gpu": {"use_multi_gpu": True, "gpu_ids": [], "single_gpu_id": 0,
+                "multi_gpu_strategy": "hogwild"},
+    })
+    mesh = create_mesh_for_batch(cfg.BATCH_SIZE)
+    model = create_model("unet")
+    loader = DataLoader(SyntheticDataset(4, 32), batch_size=4)
+    logger = Logger(str(tmp_path / "log.txt"))
+    with pytest.raises(ValueError, match="multi_gpu_strategy"):
+        train_model(model, loader, loader, cfg, "unet",
+                    str(tmp_path / "b"), str(tmp_path / "l"), logger,
+                    mesh=mesh)
+    logger.close()

@@ -57,6 +57,9 @@ class Config:
         tpu = d.get("tpu", {})
         self.NUM_DEVICES: Optional[int] = tpu.get("num_devices")
         self.COMPUTE_DTYPE: str = tpu.get("compute_dtype", "float32")
+        # size of the mesh's 'model' axis for multi_gpu_strategy:
+        # tensor_parallel (the 'data' axis gets the remaining devices)
+        self.MODEL_PARALLEL_SIZE: int = int(tpu.get("model_parallel_size", 1))
 
         self.RUN_TIMESTAMP = d.get(
             "run_timestamp",

@@ -33,14 +33,23 @@ def create_mesh(devices: Optional[Sequence[jax.Device]] = None,
 
 
 def create_mesh_for_batch(batch_size: int,
-                          max_devices: Optional[int] = None) -> Mesh:
-    """Data-parallel mesh over the most devices that divide ``batch_size``
-    (a batch not divisible by the mesh size cannot be sharded)."""
+                          max_devices: Optional[int] = None,
+                          model_axis: int = 1) -> Mesh:
+    """(data, model) mesh sized so the 'data' axis divides ``batch_size``
+    (a batch not divisible by the data-axis size cannot be sharded);
+    ``model_axis`` > 1 reserves that many devices per data shard for
+    tensor parallelism."""
     n_avail = len(jax.devices())
     if max_devices is not None:
         n_avail = min(n_avail, max_devices)
-    n = max(d for d in range(1, n_avail + 1) if batch_size % d == 0)
-    return create_mesh(jax.devices()[:n])
+    n_data_max = n_avail // model_axis
+    if n_data_max < 1:
+        raise ValueError(
+            f"model_parallel_size={model_axis} exceeds the "
+            f"{n_avail} available devices")
+    n_data = max(d for d in range(1, n_data_max + 1) if batch_size % d == 0)
+    return create_mesh(jax.devices()[: n_data * model_axis],
+                       model_axis=model_axis)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

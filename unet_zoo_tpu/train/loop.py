@@ -203,8 +203,30 @@ def train_model(
 
     sharding = None
     if mesh is not None:
-        state = replicate_state(mesh, state)
+        # gpu.multi_gpu_strategy (ref config.py:30, parsed but unused by
+        # the reference beyond DataParallel) selects the parameter
+        # placement; the batch is sharded over the mesh's 'data' axis in
+        # every mode and GSPMD inserts the collectives.
+        strategy = str(getattr(config, "MULTI_GPU_STRATEGY",
+                               "DataParallel")).lower()
+        if strategy in ("fsdp", "zero3"):
+            from unet_zoo_tpu.parallel import shard_state_fsdp
+
+            state = shard_state_fsdp(mesh, state)
+        elif strategy in ("tensor_parallel", "tp", "megatron"):
+            from unet_zoo_tpu.parallel import shard_state_tp
+
+            state = shard_state_tp(mesh, state)
+        elif strategy in ("dataparallel", "data_parallel", "dp", "ddp"):
+            state = replicate_state(mesh, state)
+        else:
+            raise ValueError(
+                f"Unknown multi_gpu_strategy {strategy!r}: expected "
+                "DataParallel, fsdp, or tensor_parallel")
         sharding = batch_sharding(mesh)
+        logger.log_both(
+            f"  Parallelism: {strategy} over mesh "
+            f"{dict(zip(mesh.axis_names, mesh.devices.shape))}")
 
     # on-device augmentation is a *placement* modifier of AUGMENT, not an
     # independent switch: flips run in the train step only when both are on

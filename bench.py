@@ -38,7 +38,7 @@ NORTH_STAR_IMG_PER_SEC = 5000.0
 def bench_model(model_name: str, batch: int, size: int, dtype_str: str,
                 mode: str, nbatches: int = 10,
                 model_kwargs: dict | None = None,
-                remat: bool = False) -> float:
+                remat: bool = False, int8: bool = False) -> float:
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -129,6 +129,14 @@ def bench_model(model_name: str, batch: int, size: int, dtype_str: str,
         float(scan_train(*args0, x_timed, masks))
         dt = time.perf_counter() - t0
     else:
+        if int8:
+            # PTQ serving path: calibrate ConvNormAct input scales on one
+            # on-device batch, then scan the int8 forward
+            from unet_zoo_tpu.utils.serving import calibrate_int8
+
+            xc = _gen(3)[0]
+            variables = calibrate_int8(model, variables, [xc])
+
         @jax.jit
         def scan_fwd(v, X):
             def body(carry, xb):
@@ -164,14 +172,18 @@ def main():
                         help="checkpoint the train forward (activation "
                              "recompute) — batch-size lever for the "
                              "memory-heavy members")
+    parser.add_argument("--int8", action="store_true",
+                        help="PTQ int8 serving path (fwd mode): calibrated "
+                             "ConvNormAct convs run s8xs8->s32 on the MXU")
     args = parser.parse_args()
 
     mk = json.loads(args.model_kwargs) if args.model_kwargs else None
     ips = bench_model(args.model, args.batch, args.size, args.dtype,
                       args.mode, args.nbatches, model_kwargs=mk,
-                      remat=args.remat)
+                      remat=args.remat, int8=args.int8)
+    tag = "_int8" if args.int8 else ""
     print(json.dumps({
-        "metric": f"{args.model}_{args.mode}_images_per_sec_{args.size}px",
+        "metric": f"{args.model}_{args.mode}{tag}_images_per_sec_{args.size}px",
         "value": round(ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / NORTH_STAR_IMG_PER_SEC, 4),

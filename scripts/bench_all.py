@@ -73,9 +73,48 @@ def run_one(model: str, mode: str, batch: int, timeout: int = 1500,
     return None, "no JSON line in output"
 
 
+def sweep_batches(names, batches, data, out, timeout, nbatches, force):
+    """Best-batch fwd sweep -> data['fwd_best'] = {model: {img_s, batch}}.
+
+    The fwd column is fixed at b32 for cross-round comparability, but
+    several members are under-batched there (unet gains +47% at b128).
+    This records the best (throughput, batch) over the requested batch
+    list, seeded from the existing b32/b16 row so a sweep that loses to
+    b32 keeps the honest number.
+    """
+    data.setdefault("fwd_best", {})
+    for name in names:
+        base_batch = SMALL_BATCH.get(name, 32)
+        best = data["fwd_best"].get(name)
+        if best is None and name in data["fwd"]:
+            best = {"img_s": data["fwd"][name], "batch": base_batch}
+        if not force and best is not None and best.get("swept"):
+            print(f"[skip] {name} best = {best}", flush=True)
+            continue
+        for b in batches:
+            if b == base_batch:
+                continue
+            print(f"[run ] {name} fwd b{b} ...", flush=True)
+            val, err = run_one(name, "fwd", b, timeout, nbatches)
+            if val is None:
+                print(f"[FAIL] {name} fwd b{b}: {err}", flush=True)
+                continue
+            print(f"[ ok ] {name} fwd b{b} = {val}", flush=True)
+            if best is None or val > best["img_s"]:
+                best = {"img_s": val, "batch": b}
+        if best is not None:
+            best["swept"] = True
+            data["fwd_best"][name] = best
+            with open(out, "w") as f:
+                json.dump(data, f, indent=1, sort_keys=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", default="train", choices=["fwd", "train", "both"])
+    ap.add_argument("--mode", default="train",
+                    choices=["fwd", "train", "both", "sweep"])
+    ap.add_argument("--batches", default="64,128",
+                    help="batch list for --mode sweep")
     ap.add_argument("--force", action="store_true")
     ap.add_argument("--models", default=None,
                     help="comma-separated subset (default: all)")
@@ -87,7 +126,8 @@ def main():
     args = ap.parse_args()
 
     names = (args.models.split(",") if args.models else list_model_names())
-    modes = ["fwd", "train"] if args.mode == "both" else [args.mode]
+    modes = (["fwd", "train"] if args.mode == "both"
+             else [] if args.mode == "sweep" else [args.mode])
 
     data = {}
     if os.path.exists(args.out):
@@ -103,7 +143,18 @@ def main():
         "images/sec/chip, 256x256, bf16, scanned-batch methodology with "
         "on-device data; v5e via tunneled backend. fwd: batch 32 "
         "(wranet/mmunet/medt_logo 16). train: full train step "
-        "(fwd+bwd+AdamW+BN stats), batch 32 (memory-heavy members 8-16).")
+        "(fwd+bwd+AdamW+BN stats), batch 32 (memory-heavy members 8-16, "
+        "multiresunet 16 - b32 OOMs). axialunet/gated train rows are the "
+        "XLA path (the fused train kernel measured slower and is opt-in). "
+        "remat measured a loss wherever it fit and is default-off "
+        "(BENCH_NOTES). fwd_best: best over a {32,64,128} batch sweep "
+        "(--mode sweep), seeded from the b32 row - the serving batch "
+        "recommendation per member.")
+
+    if args.mode == "sweep":
+        batches = [int(b) for b in args.batches.split(",")]
+        sweep_batches(names, batches, data, args.out,
+                      args.timeout, args.nbatches, args.force)
 
     for name in names:
         for mode in modes:

@@ -43,26 +43,32 @@ def main():
     gf = gf_per_img_from_models_md()
     peak = args.peak_tflops * 1e3  # GFLOP/s
 
+    best = bench.get("fwd_best", {})
     rows = []
     for name, fwd in bench.get("fwd", {}).items():
         if name.startswith("_") or name not in gf:
             continue
         train = bench.get("train", {}).get(name)
-        sol_fwd = 100.0 * fwd * gf[name] / peak
+        b = best.get(name)
+        bfwd = b["img_s"] if b else fwd
+        sol_fwd = 100.0 * bfwd * gf[name] / peak
         sol_train = (100.0 * train * 3 * gf[name] / peak
                      if train else None)
-        ratio = (fwd / train) if train else None
-        rows.append((name, gf[name], fwd, sol_fwd, train, sol_train, ratio))
+        ratio = (bfwd / train) if train else None
+        rows.append((name, gf[name], fwd, b, sol_fwd, train, sol_train,
+                     ratio))
 
-    rows.sort(key=lambda r: -r[3])
-    print("| model | GF/img | fwd img/s | fwd %SOL | train img/s | "
-          "train %SOL | fwd/train |")
-    print("|---|---|---|---|---|---|---|")
-    for name, g, fwd, sf, tr, st, ratio in rows:
+    rows.sort(key=lambda r: -r[4])
+    print("| model | GF/img | fwd img/s b32 | best (batch) | fwd %SOL | "
+          "train img/s | train %SOL | fwd/train |")
+    print("|---|---|---|---|---|---|---|---|")
+    for name, g, fwd, b, sf, tr, st, ratio in rows:
+        bb = f"{b['img_s']:.0f} (b{b['batch']})" if b else "—"
         t = f"{tr:.0f}" if tr else "—"
         s = f"{st:.1f}%" if st else "—"
         r = f"{ratio:.2f}" if ratio else "—"
-        print(f"| {name} | {g:.1f} | {fwd:.0f} | {sf:.1f}% | {t} | {s} | {r} |")
+        print(f"| {name} | {g:.1f} | {fwd:.0f} | {bb} | {sf:.1f}% | {t} | "
+              f"{s} | {r} |")
 
 
 if __name__ == "__main__":

@@ -49,8 +49,104 @@ def BatchNorm(train: bool, dtype: Dtype = jnp.float32, name: Optional[str] = Non
     )
 
 
+class _QuantConv(nn.Module):
+    """int8 drop-in for an ``nn.Conv`` (serving/PTQ path).
+
+    Declares params under the SAME names/shapes as ``nn.Conv`` ('kernel'
+    [kh, kw, cin/groups, cout], 'bias' [cout]) so it can be constructed
+    with ``name="Conv_0"`` and read the float checkpoint unchanged.
+    Weights are quantized symmetric per-output-channel at trace time
+    (folded into the compiled program as constants); the activation is
+    quantized per-tensor with a calibrated absmax. The s8×s8→s32 conv
+    hits the MXU's int8 path (2× bf16 peak on v5e); the dequant
+    scale+bias epilogue stays float and fuses into the following BN/act.
+    """
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    padding: int = 1
+    use_bias: bool = True
+    feature_group_count: int = 1
+    kernel_dilation: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, in_absmax: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size
+        cin = x.shape[-1] // self.feature_group_count
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (k, k, cin, self.features), jnp.float32)
+        kf = kernel.astype(jnp.float32)
+        s_w = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1, 2)), 1e-12) / 127.0
+        wq = jnp.clip(jnp.round(kf / s_w), -127, 127).astype(jnp.int8)
+
+        s_x = jnp.maximum(in_absmax.astype(jnp.float32), 1e-12) / 127.0
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x),
+                      -127, 127).astype(jnp.int8)
+        p, d = self.padding, self.kernel_dilation
+        y = jax.lax.conv_general_dilated(
+            xq, wq, (self.strides, self.strides), ((p, p), (p, p)),
+            rhs_dilation=(d, d),
+            feature_group_count=self.feature_group_count,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * (s_x * s_w)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias
+        return y.astype(self.dtype)
+
+
+def conv_maybe_int8(mod: nn.Module, x: jnp.ndarray, *, features: int,
+                    kernel_size: int = 3, strides: int = 1, padding: int = 1,
+                    use_bias: bool = True, feature_group_count: int = 1,
+                    kernel_dilation: int = 1, dtype: Dtype = jnp.float32,
+                    train: bool = False, name: str,
+                    stat_name: str = "in_absmax") -> jnp.ndarray:
+    """An ``nn.Conv`` call with the PTQ int8 serving gate.
+
+    Calibration forwards (``mutable=["quant_stats"]``) sow the conv
+    input's absmax under ``stat_name`` at ``mod``'s path; eval forwards
+    whose variables carry the matching ``quant`` collection (see
+    ``unet_zoo_tpu.utils.serving.calibrate_int8``) run :class:`_QuantConv`
+    under the SAME param path ``name``, so float checkpoints serve int8
+    unchanged. Everything else — init, training, un-calibrated eval — is
+    a plain ``nn.Conv``.
+    """
+    if mod.is_mutable_collection("quant_stats") and not mod.is_initializing():
+        mod.sow("quant_stats", stat_name,
+                jnp.max(jnp.abs(x.astype(jnp.float32))),
+                init_fn=lambda: jnp.float32(0.0), reduce_fn=jnp.maximum)
+    if (not train and not mod.is_initializing()
+            and mod.has_variable("quant", stat_name)):
+        return _QuantConv(
+            features, kernel_size, strides, padding, use_bias,
+            feature_group_count, kernel_dilation, dtype, name=name,
+        )(x, mod.get_variable("quant", stat_name))
+    p = padding
+    return nn.Conv(
+        features,
+        (kernel_size, kernel_size),
+        strides=(strides, strides),
+        padding=((p, p), (p, p)),
+        use_bias=use_bias,
+        feature_group_count=feature_group_count,
+        kernel_dilation=(kernel_dilation, kernel_dilation),
+        dtype=dtype,
+        name=name,
+    )(x)
+
+
 class ConvNormAct(nn.Module):
-    """conv(k,s,p) → BatchNorm → activation. The zoo's most common micro-block."""
+    """conv(k,s,p) → BatchNorm → activation. The zoo's most common micro-block.
+
+    When the variables passed to ``apply`` carry a ``quant`` collection
+    (built by ``unet_zoo_tpu.utils.serving.calibrate_int8``) and ``train``
+    is False, the conv runs int8 (see :class:`_QuantConv`); calibration
+    forwards (``mutable=["quant_stats"]``) record the conv input's absmax.
+    """
 
     features: int
     kernel_size: int = 3
@@ -65,17 +161,13 @@ class ConvNormAct(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        p = self.padding
-        x = nn.Conv(
-            self.features,
-            (self.kernel_size, self.kernel_size),
-            strides=(self.strides, self.strides),
-            padding=((p, p), (p, p)),
+        x = conv_maybe_int8(
+            self, x, features=self.features, kernel_size=self.kernel_size,
+            strides=self.strides, padding=self.padding,
             use_bias=self.use_bias,
             feature_group_count=self.feature_group_count,
-            kernel_dilation=(self.kernel_dilation, self.kernel_dilation),
-            dtype=self.dtype,
-        )(x)
+            kernel_dilation=self.kernel_dilation, dtype=self.dtype,
+            train=train, name="Conv_0")
         x = BatchNorm(train, dtype=self.dtype,
                       use_scale=self.bn_affine, use_bias=self.bn_affine)(x)
         if self.act is not None:
@@ -351,13 +443,18 @@ class ResidualConv(nn.Module):
         p, s = self.padding, self.strides
         h = BatchNorm(train, dtype=self.dtype)(x)
         h = nn.relu(h)
-        h = nn.Conv(self.features, (3, 3), strides=(s, s), padding=((p, p), (p, p)),
-                    use_bias=False, dtype=self.dtype)(h)
+        h = conv_maybe_int8(self, h, features=self.features, strides=s,
+                            padding=p, use_bias=False, dtype=self.dtype,
+                            train=train, name="Conv_0",
+                            stat_name="in_absmax0")
         h = BatchNorm(train, dtype=self.dtype)(h)
         h = nn.relu(h)
-        h = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
-                    use_bias=False, dtype=self.dtype)(h)
-        skip = nn.Conv(self.features, (1, 1), strides=(s, s), use_bias=False,
-                       dtype=self.dtype)(x)
+        h = conv_maybe_int8(self, h, features=self.features, padding=1,
+                            use_bias=False, dtype=self.dtype, train=train,
+                            name="Conv_1", stat_name="in_absmax1")
+        skip = conv_maybe_int8(self, x, features=self.features, kernel_size=1,
+                               strides=s, padding=0, use_bias=False,
+                               dtype=self.dtype, train=train, name="Conv_2",
+                               stat_name="in_absmax_skip")
         skip = BatchNorm(train, dtype=self.dtype)(skip)
         return h + skip

@@ -29,6 +29,41 @@ def cast_params_for_inference(variables: Any, dtype=jnp.bfloat16) -> Any:
     return out
 
 
+def calibrate_int8(model: ZooModel, variables: Any, batches) -> Any:
+    """Post-training-quantization calibration for int8 serving.
+
+    Runs eval-mode forwards over ``batches`` (an iterable of NHWC image
+    arrays) recording each ``ConvNormAct`` conv input's absmax (sown into
+    the ``quant_stats`` collection), reduces with max across batches, and
+    returns ``variables`` extended with a ``quant`` collection. Passing
+    the returned variables to eval-mode ``apply`` (or ``make_predictor``)
+    routes those convs through the s8×s8→s32 MXU path (2× bf16 peak on
+    v5e): weights symmetric per-output-channel, activations symmetric
+    per-tensor with the calibrated scale. Training and un-calibrated
+    variables are unaffected.
+    """
+    @jax.jit
+    def one(x):
+        _, st = model.module.apply(variables, x, train=False,
+                                   mutable=["quant_stats"])
+        return st
+
+    agg = None
+    for x in batches:
+        st = one(jnp.asarray(x)).get("quant_stats")
+        if st is None:
+            raise ValueError(
+                f"model '{model.name}' has no quantizable convs (none of "
+                "its compute routes through the int8-gated conv blocks)")
+        agg = st if agg is None else jax.tree_util.tree_map(
+            jnp.maximum, agg, st)
+    if agg is None:
+        raise ValueError("calibrate_int8 needs at least one batch")
+    out = dict(variables)
+    out["quant"] = agg
+    return out
+
+
 def make_predictor(
     model: ZooModel,
     variables: Any,

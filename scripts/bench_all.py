@@ -73,38 +73,42 @@ def run_one(model: str, mode: str, batch: int, timeout: int = 1500,
     return None, "no JSON line in output"
 
 
-def sweep_batches(names, batches, data, out, timeout, nbatches, force):
-    """Best-batch fwd sweep -> data['fwd_best'] = {model: {img_s, batch}}.
+def sweep_batches(names, batches, data, out, timeout, nbatches, force,
+                  mode="fwd"):
+    """Best-batch sweep -> data['<mode>_best'] = {model: {img_s, batch}}.
 
-    The fwd column is fixed at b32 for cross-round comparability, but
-    several members are under-batched there (unet gains +47% at b128).
-    This records the best (throughput, batch) over the requested batch
-    list, seeded from the existing b32/b16 row so a sweep that loses to
-    b32 keeps the honest number.
+    The fwd/train columns are fixed at b32-class batches for cross-round
+    comparability, but several members are under-batched there (unet
+    fwd gains +47% at b128; egeunet's full train step runs 4x faster at
+    b128). This records the best (throughput, batch) over the requested
+    batch list, seeded from the existing column row so a sweep that
+    loses keeps the honest number.
     """
-    data.setdefault("fwd_best", {})
+    col = f"{mode}_best"
+    small = TRAIN_SMALL_BATCH if mode == "train" else SMALL_BATCH
+    data.setdefault(col, {})
     for name in names:
-        base_batch = SMALL_BATCH.get(name, 32)
-        best = data["fwd_best"].get(name)
-        if best is None and name in data["fwd"]:
-            best = {"img_s": data["fwd"][name], "batch": base_batch}
+        base_batch = small.get(name, 32)
+        best = data[col].get(name)
+        if best is None and name in data[mode]:
+            best = {"img_s": data[mode][name], "batch": base_batch}
         if not force and best is not None and best.get("swept"):
             print(f"[skip] {name} best = {best}", flush=True)
             continue
         for b in batches:
             if b == base_batch:
                 continue
-            print(f"[run ] {name} fwd b{b} ...", flush=True)
-            val, err = run_one(name, "fwd", b, timeout, nbatches)
+            print(f"[run ] {name} {mode} b{b} ...", flush=True)
+            val, err = run_one(name, mode, b, timeout, nbatches)
             if val is None:
-                print(f"[FAIL] {name} fwd b{b}: {err}", flush=True)
+                print(f"[FAIL] {name} {mode} b{b}: {err}", flush=True)
                 continue
-            print(f"[ ok ] {name} fwd b{b} = {val}", flush=True)
+            print(f"[ ok ] {name} {mode} b{b} = {val}", flush=True)
             if best is None or val > best["img_s"]:
                 best = {"img_s": val, "batch": b}
         if best is not None:
             best["swept"] = True
-            data["fwd_best"][name] = best
+            data[col][name] = best
             with open(out, "w") as f:
                 json.dump(data, f, indent=1, sort_keys=True)
 
@@ -112,9 +116,9 @@ def sweep_batches(names, batches, data, out, timeout, nbatches, force):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="train",
-                    choices=["fwd", "train", "both", "sweep"])
+                    choices=["fwd", "train", "both", "sweep", "sweep-train"])
     ap.add_argument("--batches", default="64,128",
-                    help="batch list for --mode sweep")
+                    help="batch list for --mode sweep / sweep-train")
     ap.add_argument("--force", action="store_true")
     ap.add_argument("--models", default=None,
                     help="comma-separated subset (default: all)")
@@ -127,7 +131,7 @@ def main():
 
     names = (args.models.split(",") if args.models else list_model_names())
     modes = (["fwd", "train"] if args.mode == "both"
-             else [] if args.mode == "sweep" else [args.mode])
+             else [] if args.mode.startswith("sweep") else [args.mode])
 
     data = {}
     if os.path.exists(args.out):
@@ -147,14 +151,16 @@ def main():
         "multiresunet 16 - b32 OOMs). axialunet/gated train rows are the "
         "XLA path (the fused train kernel measured slower and is opt-in). "
         "remat measured a loss wherever it fit and is default-off "
-        "(BENCH_NOTES). fwd_best: best over a {32,64,128} batch sweep "
-        "(--mode sweep), seeded from the b32 row - the serving batch "
-        "recommendation per member.")
+        "(BENCH_NOTES). fwd_best/train_best: best over a {32,64,128} "
+        "batch sweep (--mode sweep / sweep-train), seeded from the "
+        "b32-class row - the serving/training batch recommendation per "
+        "member.")
 
-    if args.mode == "sweep":
+    if args.mode.startswith("sweep"):
         batches = [int(b) for b in args.batches.split(",")]
         sweep_batches(names, batches, data, args.out,
-                      args.timeout, args.nbatches, args.force)
+                      args.timeout, args.nbatches, args.force,
+                      mode="train" if args.mode == "sweep-train" else "fwd")
 
     for name in names:
         for mode in modes:

@@ -316,9 +316,13 @@ class UpSampleUNet(nn.Module):
     def __call__(self, x: jnp.ndarray, skip: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         from unet_zoo_tpu.ops.pallas.fused_up import use_fused_up
 
-        fused = self.use_pallas
-        if fused is None:
-            fused = use_fused_up(x.shape, skip.shape, self.up_features)
+        if self.use_pallas is False:
+            fused = False
+        else:
+            # forced=True (use_pallas=True) still honors the Mosaic shape
+            # constraints on real TPU: the Cu=64 stage falls back to XLA
+            fused = use_fused_up(x.shape, skip.shape, self.up_features,
+                                 forced=self.use_pallas is True)
         fused = fused and not train and not self.is_initializing()
         if fused:
             return self._fused(x, skip)

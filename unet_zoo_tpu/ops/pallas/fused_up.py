@@ -326,19 +326,15 @@ _AUTO_ENABLED = False
 # latency/small-batch regime it actually wins.
 
 
-def use_fused_up(y_shape, skip_shape, up_features: Optional[int] = None) -> bool:
-    """Gate: TPU backend and shapes the kernel tiles cleanly (fallback
-    path handles everything else).
+def shape_supported(y_shape, skip_shape,
+                    up_features: Optional[int] = None) -> bool:
+    """Shapes the kernel tiles cleanly on real Mosaic.
 
     Channel alignment: the VMEM W-interleave lane-slices the ConvT matmul
     result at offsets of 2*Cu and the tap stack lane-concats Cu/Cs-sized
     pieces — Mosaic requires 128-lane-aligned offsets for both (observed:
     'unsupported shape cast' vector<...x128> -> <...x64> when Cu=64), so
     Cu and Cs must be multiples of 128."""
-    if not _AUTO_ENABLED:
-        return False
-    if jax.default_backend() != "tpu":
-        return False
     _, hc, wcs, _ = y_shape
     _, hf, wf, cs = skip_shape
     if hf != 2 * hc or wf != 2 * wcs:
@@ -350,3 +346,17 @@ def use_fused_up(y_shape, skip_shape, up_features: Optional[int] = None) -> bool
     if up_features is not None and up_features % 128:
         return False
     return True
+
+
+def use_fused_up(y_shape, skip_shape, up_features: Optional[int] = None,
+                 forced: bool = False) -> bool:
+    """Gate. ``forced`` (``use_pallas=True``) means "use the kernel
+    wherever it can compile": on TPU the Mosaic shape constraints still
+    apply (the Cu=64 stage falls back to XLA instead of crashing the
+    whole forward); off-TPU the interpret-mode kernel handles any shape
+    (tests). Auto mode additionally requires ``_AUTO_ENABLED``."""
+    if jax.default_backend() != "tpu":
+        return forced
+    if not forced and not _AUTO_ENABLED:
+        return False
+    return shape_supported(y_shape, skip_shape, up_features)

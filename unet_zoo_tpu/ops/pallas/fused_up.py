@@ -321,9 +321,12 @@ _AUTO_ENABLED = False
 # runs the 32-128px decoder conv1 stages at 99% of the bf16 roofline;
 # this kernel's fat dots reach only ~60-70% (VMEM interleave + z3-stack
 # copies + realign rotates on the critical path). Beating 99%-SOL XLA
-# convs is not possible from this formulation, so auto-enable stays OFF
-# and the kernel is kept as an opt-in (use_pallas=True) for the
-# latency/small-batch regime it actually wins.
+# convs is not possible from this formulation, so auto-enable stays OFF.
+# The round-3 in-model latency A/B killed the last claimed regime too:
+# at b1/4/8/16 the kernel is 0.87-0.95x vs in-model XLA (the standalone
+# 1.6-2.5x wins only beat the microbenchmark's own concat
+# materialization, which in-model XLA never pays). Kept opt-in purely
+# as a study artifact; no configuration is recommended to enable it.
 
 
 def shape_supported(y_shape, skip_shape,

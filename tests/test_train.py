@@ -217,3 +217,51 @@ def test_train_remat_spec_plumbing():
     assert model.train_remat in (False, True)
     for name in list_models():
         assert isinstance(_REGISTRY[name].train_remat, bool)
+
+
+def test_grad_accum_matches_plain_for_stateless_model():
+    """For a batch-stats-free model (egeunet: GroupNorm only), k-microbatch
+    gradient accumulation is exactly the full-batch step: BCE's mean
+    reduction is linear in the batch, so mean-of-microbatch-grads equals
+    the full-batch grad (up to f32 reassociation)."""
+    model = create_model("egeunet", image_size=32)
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    masks = (jax.random.uniform(jax.random.PRNGKey(2), (4, 32, 32, 1)) > 0.5
+             ).astype(jnp.float32)
+
+    outs = []
+    for k in (1, 2):
+        state = create_train_state(model, rng, sample, learning_rate=1e-3)
+        step = make_train_step(model, accum_steps=k)
+        state, metrics = step(state, imgs, masks)
+        outs.append((metrics, state.params))
+    (m0, p0), (m1, p1) = outs
+    assert np.allclose(float(m0["loss"]), float(m1["loss"]), rtol=1e-5)
+    # atol 1e-4 = 10% of one AdamW step (lr 1e-3): Adam's first-step
+    # update is sign-like (m/sqrt(v)), so f32 reassociation noise in
+    # near-zero grads moves a handful of params by O(1e-5) — observed
+    # max 2e-5 on 1/3456 elements
+    for a, b in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_grad_accum_bn_model_runs():
+    """BN models accumulate too (stats update per microbatch, like k
+    sequential smaller batches); the step runs, counts once, stays finite."""
+    model = create_model("unet")
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 32, 32, 3), jnp.float32))
+    step = make_train_step(model, accum_steps=2)
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    masks = jnp.zeros((4, 32, 32, 1), jnp.float32).at[:, 8:24, 8:24].set(1.0)
+    state, metrics = step(state, imgs, masks)
+    assert int(state.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["dice"]))
+    # running stats actually moved off their init
+    mean_leaf = jax.tree_util.tree_leaves(state.batch_stats)[0]
+    assert float(jnp.max(jnp.abs(mean_leaf))) > 0.0

@@ -43,6 +43,10 @@ class Config:
         self.EARLY_STOPPING_PATIENCE = t["early_stopping_patience"]
         self.LR_SCHEDULER_PATIENCE = t["lr_scheduler_patience"]
         self.LR_SCHEDULER_FACTOR = t["lr_scheduler_factor"]
+        # k>1 scans k microbatches with in-carry gradient accumulation
+        # before the single optimizer update (memory lever: live
+        # activations of batch_size/k only)
+        self.GRAD_ACCUM_STEPS = t.get("grad_accum_steps", 1)
         self.MIN_LR = float(t["min_lr"])
         self.NUM_CLASSES = t["num_classes"]
         self.WEIGHT_DECAY = float(t.get("weight_decay", 1e-5))

@@ -234,7 +234,8 @@ def train_model(
     train_step = make_train_step(
         model, augment=(getattr(config, "AUGMENT", False)
                         and getattr(config, "AUGMENT_ON_DEVICE", False)),
-        remat=model.train_remat)
+        remat=model.train_remat,
+        accum_steps=getattr(config, "GRAD_ACCUM_STEPS", 1))
     eval_step = make_eval_step(model)
 
     train_losses: List[float] = []

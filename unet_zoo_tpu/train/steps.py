@@ -72,7 +72,8 @@ def set_lr(state: TrainState, lr: float) -> TrainState:
 def make_train_step(model: ZooModel,
                     criterion: Callable = bce_with_logits,
                     remat: bool = False,
-                    augment: bool = False) -> Callable:
+                    augment: bool = False,
+                    accum_steps: int = 1) -> Callable:
     """Build the jitted train step for ``model``.
 
     Returns ``step(state, images, masks) -> (state, metrics)`` where metrics
@@ -84,6 +85,13 @@ def make_train_step(model: ZooModel,
     backward pass) to trade FLOPs for activation memory on big models.
     ``augment=True`` applies on-device random H/V flips to the batch inside
     the compiled step (see data/augment.py), keyed off ``state.step``.
+    ``accum_steps=k>1`` splits the batch into k microbatches scanned
+    sequentially with in-carry gradient accumulation — one optimizer
+    update with the mean gradient, live activations of one microbatch
+    only (the memory lever for the members whose backward does not fit
+    the target batch; BN statistics update per microbatch, exactly as k
+    sequential smaller batches would, and loss/Dice are microbatch
+    means).
     """
 
     def forward(params, batch_stats, images, dropout_rng):
@@ -116,6 +124,38 @@ def make_train_step(model: ZooModel,
             aug_rng = jax.random.fold_in(jax.random.PRNGKey(1), state.step)
             images, masks = random_flips(aug_rng, images, masks)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        if accum_steps > 1:
+            k = accum_steps
+            b = images.shape[0]
+            if b % k:
+                raise ValueError(
+                    f"batch {b} not divisible by accum_steps {k}")
+            im = images.reshape(k, b // k, *images.shape[1:])
+            mk = masks.reshape(k, b // k, *masks.shape[1:])
+
+            def micro(carry, xm):
+                bs, gacc, lacc, dacc = carry
+                xb, mb, i = xm
+                rng_i = jax.random.fold_in(dropout_rng, i)
+                (loss, (logits, new_bs)), grads = grad_fn(
+                    state.params, bs, xb, mb, rng_i)
+                gacc = jax.tree_util.tree_map(jnp.add, gacc, grads)
+                dice = dice_coefficient(logits, mb)
+                return ((new_bs if new_bs else bs), gacc,
+                        lacc + loss, dacc + dice), None
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (new_stats, gsum, lsum, dsum), _ = jax.lax.scan(
+                micro, (state.batch_stats, zeros,
+                        jnp.float32(0.0), jnp.float32(0.0)),
+                (im, mk, jnp.arange(k)))
+            grads = jax.tree_util.tree_map(lambda g: g / k, gsum)
+            loss, dice = lsum / k, dsum / k
+            state = state.apply_gradients(grads=grads)
+            if new_stats:
+                state = state.replace(batch_stats=new_stats)
+            return state, {"loss": loss, "dice": dice}
+
         (loss, (main_logits, new_stats)), grads = grad_fn(
             state.params, state.batch_stats, images, masks, dropout_rng
         )

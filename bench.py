@@ -38,7 +38,8 @@ NORTH_STAR_IMG_PER_SEC = 5000.0
 def bench_model(model_name: str, batch: int, size: int, dtype_str: str,
                 mode: str, nbatches: int = 10,
                 model_kwargs: dict | None = None,
-                remat: bool = False, int8: bool = False) -> float:
+                remat: bool = False, int8: bool = False,
+                accum: int = 1) -> float:
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -108,6 +109,52 @@ def bench_model(model_name: str, batch: int, size: int, dtype_str: str,
                     # (ModelSpec.train_remat)
                     loss_fn = jax.checkpoint(loss_fn)
 
+                if accum > 1:
+                    # gradient accumulation (train/steps.py semantics):
+                    # scan `accum` microbatches, live activations of
+                    # batch/accum only, one optimizer update
+                    k = accum
+                    xm = xb.reshape(k, batch // k, *xb.shape[1:])
+                    mm = mb.reshape(k, batch // k, *mb.shape[1:])
+
+                    def micro(carry, xmm):
+                        bs, gacc, lacc = carry
+                        xi, mi = xmm
+
+                        def lf(p, bsi):
+                            var = {"params": p}
+                            if bsi:
+                                var["batch_stats"] = bsi
+                            out, mut = model.module.apply(
+                                var, xi, train=True,
+                                mutable=["batch_stats"],
+                                rngs={"dropout": jax.random.PRNGKey(0)})
+                            return multi_output_loss(
+                                out, mi, model.loss_weight), mut
+
+                        lfn = (jax.checkpoint(lf)
+                               if remat or model.train_remat else lf)
+                        (loss, mut), grads = jax.value_and_grad(
+                            lfn, has_aux=True)(params, bs)
+                        gacc = jax.tree_util.tree_map(
+                            jnp.add, gacc, grads)
+                        return (mut.get("batch_stats", bs), gacc,
+                                lacc + loss), None
+
+                    zeros = jax.tree_util.tree_map(
+                        jnp.zeros_like, params)
+                    (new_bs, gsum, lsum), _ = lax.scan(
+                        micro, (batch_stats, zeros, jnp.float32(0.0)),
+                        (xm, mm))
+                    grads = jax.tree_util.tree_map(
+                        lambda g: g / k, gsum)
+                    updates, opt_state = tx.update(
+                        grads, opt_state, params)
+                    import optax
+
+                    params = optax.apply_updates(params, updates)
+                    return (params, new_bs, opt_state), lsum / k
+
                 (loss, mut), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(params, batch_stats)
                 updates, opt_state = tx.update(grads, opt_state, params)
@@ -175,12 +222,15 @@ def main():
     parser.add_argument("--int8", action="store_true",
                         help="PTQ int8 serving path (fwd mode): calibrated "
                              "ConvNormAct convs run s8xs8->s32 on the MXU")
+    parser.add_argument("--accum", type=int, default=1,
+                        help="train mode: gradient accumulation over k "
+                             "microbatches (live activations of batch/k)")
     args = parser.parse_args()
 
     mk = json.loads(args.model_kwargs) if args.model_kwargs else None
     ips = bench_model(args.model, args.batch, args.size, args.dtype,
                       args.mode, args.nbatches, model_kwargs=mk,
-                      remat=args.remat, int8=args.int8)
+                      remat=args.remat, int8=args.int8, accum=args.accum)
     tag = "_int8" if args.int8 else ""
     print(json.dumps({
         "metric": f"{args.model}_{args.mode}{tag}_images_per_sec_{args.size}px",

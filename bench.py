@@ -75,6 +75,10 @@ def bench_model(model_name: str, batch: int, size: int, dtype_str: str,
         float(jnp.sum(x))  # force materialization on device
         return x
 
+    if accum > 1 and batch % accum:
+        raise ValueError(f"batch {batch} not divisible by --accum {accum}")
+    if int8 and mode != "fwd":
+        raise ValueError("--int8 is a serving (fwd) path")
     if mode == "train":
         masks = jax.jit(lambda: (jax.random.uniform(
             jax.random.PRNGKey(7), (nbatches, batch, size, size, 1)) > 0.5
@@ -110,9 +114,11 @@ def bench_model(model_name: str, batch: int, size: int, dtype_str: str,
                     loss_fn = jax.checkpoint(loss_fn)
 
                 if accum > 1:
-                    # gradient accumulation (train/steps.py semantics):
-                    # scan `accum` microbatches, live activations of
-                    # batch/accum only, one optimizer update
+                    # gradient accumulation — mirrors the production
+                    # step's microbatch scan (train/steps.py:make_train_step,
+                    # kept inline here because the bench's whole train
+                    # body is a scan-methodology re-derivation; keep the
+                    # two in sync)
                     k = accum
                     xm = xb.reshape(k, batch // k, *xb.shape[1:])
                     mm = mb.reshape(k, batch // k, *mb.shape[1:])
@@ -181,7 +187,9 @@ def bench_model(model_name: str, batch: int, size: int, dtype_str: str,
             # on-device batch, then scan the int8 forward
             from unet_zoo_tpu.utils.serving import calibrate_int8
 
-            xc = _gen(3)[0]
+            xc = jax.jit(lambda: jax.random.normal(
+                jax.random.PRNGKey(3), (batch, size, size, 3),
+                jnp.float32))()
             variables = calibrate_int8(model, variables, [xc])
 
         @jax.jit
@@ -232,6 +240,8 @@ def main():
                       args.mode, args.nbatches, model_kwargs=mk,
                       remat=args.remat, int8=args.int8, accum=args.accum)
     tag = "_int8" if args.int8 else ""
+    if args.accum > 1:
+        tag += f"_accum{args.accum}"
     print(json.dumps({
         "metric": f"{args.model}_{args.mode}{tag}_images_per_sec_{args.size}px",
         "value": round(ips, 2),

@@ -89,14 +89,20 @@ def sweep_batches(names, batches, data, out, timeout, nbatches, force,
     data.setdefault(col, {})
     for name in names:
         base_batch = small.get(name, 32)
-        best = data[col].get(name)
-        if best is None and name in data[mode]:
-            best = {"img_s": data[mode][name], "batch": base_batch}
-        if not force and best is not None and best.get("swept"):
-            print(f"[skip] {name} best = {best}", flush=True)
+        if not force and data[col].get(name, {}).get("swept"):
+            print(f"[skip] {name} best = {data[col][name]}", flush=True)
             continue
-        for b in batches:
-            if b == base_batch:
+        # --force re-measures from scratch (a stale best must be allowed
+        # to go DOWN after a regression); otherwise seed from the fixed
+        # column row so a sweep that loses keeps the honest number
+        best = None
+        if not force and name in data[mode]:
+            best = {"img_s": data[mode][name], "batch": base_batch}
+        run_batches = list(batches)
+        if best is None and base_batch not in run_batches:
+            run_batches.insert(0, base_batch)  # no base row: measure it
+        for b in run_batches:
+            if best is not None and b == base_batch:
                 continue
             print(f"[run ] {name} {mode} b{b} ...", flush=True)
             val, err = run_one(name, mode, b, timeout, nbatches)

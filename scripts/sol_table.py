@@ -44,31 +44,37 @@ def main():
     peak = args.peak_tflops * 1e3  # GFLOP/s
 
     best = bench.get("fwd_best", {})
+    tbest = bench.get("train_best", {})
     rows = []
     for name, fwd in bench.get("fwd", {}).items():
         if name.startswith("_") or name not in gf:
             continue
         train = bench.get("train", {}).get(name)
         b = best.get(name)
+        tb = tbest.get(name)
         bfwd = b["img_s"] if b else fwd
+        btrain = tb["img_s"] if tb else train
         sol_fwd = 100.0 * bfwd * gf[name] / peak
-        sol_train = (100.0 * train * 3 * gf[name] / peak
-                     if train else None)
-        ratio = (bfwd / train) if train else None
-        rows.append((name, gf[name], fwd, b, sol_fwd, train, sol_train,
-                     ratio))
+        sol_train = (100.0 * btrain * 3 * gf[name] / peak
+                     if btrain else None)
+        # like-for-like: best fwd over best train (both default to the
+        # b32-class column when unswept)
+        ratio = (bfwd / btrain) if btrain else None
+        rows.append((name, gf[name], fwd, b, sol_fwd, train, tb,
+                     sol_train, ratio))
 
     rows.sort(key=lambda r: -r[4])
-    print("| model | GF/img | fwd img/s b32 | best (batch) | fwd %SOL | "
-          "train img/s | train %SOL | fwd/train |")
-    print("|---|---|---|---|---|---|---|---|")
-    for name, g, fwd, b, sf, tr, st, ratio in rows:
+    print("| model | GF/img | fwd b32 | fwd best (batch) | fwd %SOL | "
+          "train b32 | train best (batch) | train %SOL | fwd/train |")
+    print("|---|---|---|---|---|---|---|---|---|")
+    for name, g, fwd, b, sf, tr, tb, st, ratio in rows:
         bb = f"{b['img_s']:.0f} (b{b['batch']})" if b else "—"
         t = f"{tr:.0f}" if tr else "—"
+        tbb = f"{tb['img_s']:.0f} (b{tb['batch']})" if tb else "—"
         s = f"{st:.1f}%" if st else "—"
         r = f"{ratio:.2f}" if ratio else "—"
         print(f"| {name} | {g:.1f} | {fwd:.0f} | {bb} | {sf:.1f}% | {t} | "
-              f"{s} | {r} |")
+              f"{tbb} | {s} | {r} |")
 
 
 if __name__ == "__main__":

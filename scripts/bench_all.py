@@ -74,7 +74,7 @@ def run_one(model: str, mode: str, batch: int, timeout: int = 1500,
 
 
 def sweep_batches(names, batches, data, out, timeout, nbatches, force,
-                  mode="fwd"):
+                  mode="fwd", extend=False):
     """Best-batch sweep -> data['<mode>_best'] = {model: {img_s, batch}}.
 
     The fwd/train columns are fixed at b32-class batches for cross-round
@@ -83,20 +83,27 @@ def sweep_batches(names, batches, data, out, timeout, nbatches, force,
     b128). This records the best (throughput, batch) over the requested
     batch list, seeded from the existing column row so a sweep that
     loses keeps the honest number.
+
+    ``extend=True`` grows the grid without discarding it: seed from the
+    recorded best (instead of skipping swept entries or, like --force,
+    re-measuring from scratch) and run only the new batches — the way to
+    probe b256 after a {32,64,128} sweep.
     """
     col = f"{mode}_best"
     small = TRAIN_SMALL_BATCH if mode == "train" else SMALL_BATCH
     data.setdefault(col, {})
     for name in names:
         base_batch = small.get(name, 32)
-        if not force and data[col].get(name, {}).get("swept"):
+        if not force and not extend and data[col].get(name, {}).get("swept"):
             print(f"[skip] {name} best = {data[col][name]}", flush=True)
             continue
         # --force re-measures from scratch (a stale best must be allowed
         # to go DOWN after a regression); otherwise seed from the fixed
         # column row so a sweep that loses keeps the honest number
         best = None
-        if not force and name in data[mode]:
+        if extend and name in data[col]:
+            best = dict(data[col][name])
+        elif not force and name in data[mode]:
             best = {"img_s": data[mode][name], "batch": base_batch}
         run_batches = list(batches)
         if best is None and base_batch not in run_batches:
@@ -126,6 +133,9 @@ def main():
     ap.add_argument("--batches", default="64,128",
                     help="batch list for --mode sweep / sweep-train")
     ap.add_argument("--force", action="store_true")
+    ap.add_argument("--extend", action="store_true",
+                    help="sweep modes: keep the recorded best and run "
+                         "only the new --batches (grid extension)")
     ap.add_argument("--models", default=None,
                     help="comma-separated subset (default: all)")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_ALL.json"))
@@ -166,7 +176,8 @@ def main():
         batches = [int(b) for b in args.batches.split(",")]
         sweep_batches(names, batches, data, args.out,
                       args.timeout, args.nbatches, args.force,
-                      mode="train" if args.mode == "sweep-train" else "fwd")
+                      mode="train" if args.mode == "sweep-train" else "fwd",
+                      extend=args.extend)
 
     for name in names:
         for mode in modes:

@@ -83,3 +83,80 @@ def test_export_predictor_mask_output():
     restored = load_predictor(blob)
     out = np.asarray(restored(x))
     assert out.dtype == np.uint8 and set(np.unique(out)) <= {0, 1}
+
+
+# ---- tiled sliding-window inference -------------------------------------
+
+class _PointwiseStub:
+    """ZooModel stand-in whose 'main' output is a pointwise map of the
+    input — overlap blending must be EXACT for it (the Hann weights
+    cancel in the weighted average), which pins the tile grid, padding,
+    scatter-add stitching, and crop geometry bit-tight."""
+
+    class module:  # noqa: N801 - mimics ZooModel.module
+        @staticmethod
+        def apply(variables, x, train=False):
+            k = variables["params"]["k"]
+            main = (x * 2.0 + 1.0) @ k  # [*, C] @ [C, K]
+            return {"main": main}
+
+
+def _stub():
+    k = jnp.asarray(np.random.default_rng(1).standard_normal((3, 2)),
+                    jnp.float32)
+    return _PointwiseStub(), {"params": {"k": k}}
+
+
+def test_tiled_pointwise_exact():
+    from unet_zoo_tpu.utils.serving import make_tiled_predictor
+
+    model, variables = _stub()
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((2, 50, 70, 3)),
+                    jnp.float32)
+    full = model.module.apply(variables, x)["main"]
+    for tile, overlap, tb in [(16, 0.25, 4), (16, 0.5, 3), (32, 0.0, 8),
+                              (128, 0.25, 2)]:  # 128 > image: single tile
+        tiled = make_tiled_predictor(model, variables, tile=tile,
+                                     overlap=overlap, tile_batch=tb,
+                                     cast_bf16=False)(x)
+        np.testing.assert_allclose(np.asarray(tiled), np.asarray(full),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_tiled_matches_plain_predictor_when_tile_covers():
+    from unet_zoo_tpu.utils.serving import make_tiled_predictor
+
+    model, variables, x = _setup()
+    plain = make_predictor(model, variables, "logits", cast_bf16=False)(x)
+    tiled = make_tiled_predictor(model, variables, tile=32, overlap=0.25,
+                                 cast_bf16=False)(x)
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(plain),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_tiled_real_model_large_image_close_to_full():
+    from unet_zoo_tpu.utils.serving import make_tiled_predictor
+
+    model, variables, _ = _setup()
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((1, 64, 96, 3)),
+                    jnp.float32)
+    full = make_predictor(model, variables, "probs", cast_bf16=False)(x)
+    tiled = make_tiled_predictor(model, variables, tile=32, overlap=0.5,
+                                 output="probs", cast_bf16=False)(x)
+    # receptive-field halo error only; interior agreement should be tight
+    err = np.abs(np.asarray(tiled) - np.asarray(full))
+    assert np.median(err) < 0.05
+    assert np.mean(err) < 0.1
+
+
+def test_tiled_mask_output_dtype_and_shape():
+    from unet_zoo_tpu.utils.serving import make_tiled_predictor
+
+    model, variables = _stub()
+    x = jnp.asarray(np.random.default_rng(4).standard_normal((1, 33, 47, 3)),
+                    jnp.float32)
+    mask = make_tiled_predictor(model, variables, tile=16, overlap=0.25,
+                                output="mask", cast_bf16=False)(x)
+    assert mask.shape == (1, 33, 47, 2)
+    assert mask.dtype == jnp.uint8
+    assert set(np.unique(np.asarray(mask))) <= {0, 1}

@@ -107,6 +107,112 @@ def make_predictor(
     return predict
 
 
+def make_tiled_predictor(
+    model: ZooModel,
+    variables: Any,
+    tile: int = 512,
+    overlap: float = 0.25,
+    output: str = "logits",   # 'logits' | 'probs' | 'mask'
+    threshold: float = 0.5,
+    tile_batch: int = 8,
+    cast_bf16: bool = True,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Sliding-window predictor for images larger than the model's size.
+
+    Serves arbitrarily large images on ONE chip by running the model on
+    overlapping ``tile``×``tile`` windows and blending the per-tile
+    logits with a separable Hann window (the standard medical-seg
+    stitching scheme) — the single-device complement to
+    ``parallel/spatial.py``'s multi-device halo sharding. The reference
+    has no large-image path at all (it resizes everything to 512,
+    ref: data/datasets.py:41).
+
+    TPU-first shape discipline: the tile grid, padding, and blend
+    window are trace-time constants; tiles run through the model
+    ``tile_batch`` at a time inside one ``lax.scan`` (static shapes, no
+    per-tile dispatch), and stitching is dynamic-slice add/update on a
+    carried canvas. The whole thing is ONE jitted program per input
+    shape. Overlap-region blending is exact for pointwise models (the
+    Hann weights cancel in the weighted average — tested), and for real
+    models the overlap margin hides the halo error of cropped receptive
+    fields.
+    """
+    if not 0.0 <= overlap < 1.0:
+        raise ValueError(f"overlap must be in [0, 1), got {overlap}")
+    stride = max(1, int(round(tile * (1.0 - overlap))))
+    if cast_bf16:
+        variables = cast_params_for_inference(variables)
+
+    # separable Hann blend window, strictly positive (half-sample offset)
+    import numpy as np
+
+    w1 = 0.5 - 0.5 * np.cos(2.0 * np.pi * (np.arange(tile) + 0.5) / tile)
+    win = jnp.asarray(np.outer(w1, w1) + 1e-6, jnp.float32)[..., None]
+
+    @jax.jit
+    def predict(images: jnp.ndarray) -> jnp.ndarray:
+        B, H, W, C = images.shape
+        n_h = max(1, -(-(max(H, tile) - tile) // stride) + 1)
+        n_w = max(1, -(-(max(W, tile) - tile) // stride) + 1)
+        Hp = (n_h - 1) * stride + tile
+        Wp = (n_w - 1) * stride + tile
+        # reflect needs pad < dim; tiny inputs fall back to edge padding
+        pad_mode = "reflect" if (Hp - H < H and Wp - W < W) else "edge"
+        padded = jnp.pad(images, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)),
+                         mode=pad_mode)
+
+        # static flat (b, y, x) tile-origin table, padded to a whole
+        # number of tile_batch chunks with duplicates of entry 0 —
+        # duplicates add the same (weighted tile, weight) twice, which
+        # the final divide cancels exactly
+        ys = np.arange(n_h) * stride
+        xs = np.arange(n_w) * stride
+        pos = np.array([(b, y, x) for b in range(B) for y in ys for x in xs],
+                       np.int32)
+        tb = max(1, min(tile_batch, len(pos)))
+        n_pad = (-len(pos)) % tb
+        if n_pad:
+            pos = np.concatenate([pos, np.repeat(pos[:1], n_pad, 0)])
+        pos = jnp.asarray(pos.reshape(-1, tb, 3))
+
+        K = jax.eval_shape(
+            lambda v, x: model.module.apply(v, x, train=False)["main"],
+            variables, jax.ShapeDtypeStruct((tb, tile, tile, C),
+                                            images.dtype)).shape[-1]
+
+        def body(carry, pos_chunk):
+            out, wsum = carry
+            tiles = jax.vmap(lambda p: jax.lax.dynamic_slice(
+                padded, (p[0], p[1], p[2], 0), (1, tile, tile, C))[0]
+            )(pos_chunk)
+            logits = model.module.apply(
+                variables, tiles, train=False)["main"].astype(jnp.float32)
+            for i in range(tb):  # static unroll; tb is small
+                b, y, x = pos_chunk[i, 0], pos_chunk[i, 1], pos_chunk[i, 2]
+                cur = jax.lax.dynamic_slice(out, (b, y, x, 0),
+                                            (1, tile, tile, K))
+                out = jax.lax.dynamic_update_slice(
+                    out, cur + (logits[i] * win)[None], (b, y, x, 0))
+                curw = jax.lax.dynamic_slice(wsum, (b, y, x, 0),
+                                             (1, tile, tile, 1))
+                wsum = jax.lax.dynamic_update_slice(
+                    wsum, curw + win[None], (b, y, x, 0))
+            return (out, wsum), None
+
+        init = (jnp.zeros((B, Hp, Wp, K), jnp.float32),
+                jnp.zeros((B, Hp, Wp, 1), jnp.float32))
+        (out, wsum), _ = jax.lax.scan(body, init, pos)
+        logits = (out / wsum)[:, :H, :W, :]
+        if output == "logits":
+            return logits
+        probs = jax.nn.sigmoid(logits)
+        if output == "probs":
+            return probs
+        return (probs > threshold).astype(jnp.uint8)
+
+    return predict
+
+
 def export_predictor(
     model: ZooModel,
     variables: Any,

@@ -149,17 +149,19 @@ def main():
     print(f"{args.model}: {len(files)} image(s) -> {args.output} "
           f"({'tiled ' if args.tiled else ''}{args.output_kind})")
 
+    cast_bf16 = True
     if args.int8:
         x0, _ = load_image(files[0], args.image_size, args.in_channels)
         variables = serving.calibrate_int8(
             model, variables, [jnp.asarray(x0[None])])
+        cast_bf16 = False  # quantize from f32 weights (README int8 recipe)
         print("int8: calibrated on 1 batch")
 
     if args.export:
         serving.export_predictor(
             model, variables, batch=args.batch, image_size=args.image_size,
             in_channels=args.in_channels, output=args.output_kind,
-            threshold=args.threshold, path=args.export)
+            threshold=args.threshold, cast_bf16=cast_bf16, path=args.export)
         print(f"export: StableHLO artifact -> {args.export} "
               f"(batch {args.batch}, {args.image_size}px)")
 
@@ -168,7 +170,7 @@ def main():
         predict = serving.make_tiled_predictor(
             model, variables, tile=args.tile or args.image_size,
             overlap=args.overlap, output=args.output_kind,
-            threshold=args.threshold)
+            threshold=args.threshold, cast_bf16=cast_bf16)
         for f in files:
             arr, orig = load_image(f, None, args.in_channels)
             out = predict(jnp.asarray(arr[None]))[0]
@@ -178,7 +180,8 @@ def main():
         return
 
     predict = serving.make_predictor(
-        model, variables, output=args.output_kind, threshold=args.threshold)
+        model, variables, output=args.output_kind, threshold=args.threshold,
+        cast_bf16=cast_bf16)
     B = args.batch
     for i in range(0, len(files), B):
         chunk = files[i:i + B]

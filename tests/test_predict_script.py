@@ -72,6 +72,18 @@ def test_predict_masks_and_tiled(tmp_path):
     assert p.shape == (48, 40, 1)
     assert p.min() >= 0.0 and p.max() <= 1.0
 
+    # int8 PTQ path: calibrate on the first image, masks still valid
+    out_q = tmp_path / "preds_int8"
+    stdout = _run(["--model", "unet", "--checkpoint", str(ckpt),
+                   "--input", str(img_dir / "im0.png"), "--output",
+                   str(out_q), "--image-size", "32", "--batch", "1",
+                   "--int8"])
+    assert "int8: calibrated" in stdout
+    from PIL import Image as PILImage
+
+    mq = np.asarray(PILImage.open(out_q / "im0.png"))
+    assert mq.shape == (48, 40) and set(np.unique(mq)) <= {0, 255}
+
 
 @pytest.mark.slow
 def test_predict_export_artifact(tmp_path):

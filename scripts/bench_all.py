@@ -167,10 +167,11 @@ def main():
         "multiresunet 16 - b32 OOMs). axialunet/gated train rows are the "
         "XLA path (the fused train kernel measured slower and is opt-in). "
         "remat measured a loss wherever it fit and is default-off "
-        "(BENCH_NOTES). fwd_best/train_best: best over a {32,64,128} "
-        "batch sweep (--mode sweep / sweep-train), seeded from the "
+        "(BENCH_NOTES). fwd_best/train_best: best over the swept batch "
+        "grid - {32,64,128}, extended to 256 where it fits (--mode sweep "
+        "/ sweep-train, --extend grows the grid), seeded from the "
         "b32-class row - the serving/training batch recommendation per "
-        "member.")
+        "member. OOM at a batch keeps the prior best.")
 
     if args.mode.startswith("sweep"):
         batches = [int(b) for b in args.batches.split(",")]

@@ -279,8 +279,8 @@ def fused_up_concat_conv(
              pl.Blocked(cs)),
             lambda bi_, t, j: (bi_, t, 0, 0)),
         # the same arrays again, unblocked, for the halo-row DMAs
-        pl.BlockSpec(memory_space=pltpu.ANY),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
     ] + weight_specs
     scratch = [
         # cached contraction stack (identical across co blocks)

@@ -192,7 +192,7 @@ def fused_mkblock(
         pl.BlockSpec(
             (pl.Squeezed(), pl.Blocked(rows), pl.Blocked(c), pl.Blocked(w)),
             lambda bi, t: (bi, t, 0, 0)),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec((83, q, 1), lambda bi, t: (0, 0, 0)),
         pl.BlockSpec((6, q, 1), lambda bi, t: (0, 0, 0)),
         pl.BlockSpec((4 * c, c), lambda bi, t: (0, 0)),

@@ -150,7 +150,7 @@ def fused_softmax_morph(
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[tile, pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[tile, pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(tile, tile),
         out_shape=(out_sd, out_sd),
         scratch_shapes=scratch,

@@ -102,3 +102,143 @@ def spatial_unet_apply(mesh: Mesh, variables: Dict[str, Any],
         return jax.jit(mapped)(x_global)
 
     return run
+
+
+# ---------------------------------------------------------------------------
+# Training under spatial sharding
+#
+# Train-mode BatchNorm must normalize with statistics over the GLOBAL
+# (B, H, W) extent — each shard only sees an H slice, so local sums are
+# psum'd over the spatial axis before normalizing. The running-average
+# update replicates flax's exact semantics (biased batch variance for
+# both the normalization and the running update, decay 0.9 == torch
+# momentum 0.1), so one spatially-sharded step matches the standard
+# single-device `make_train_step` bit-for-bit up to reduction order.
+#
+# Gradients: the forward crosses shards through `ppermute` halos, whose
+# VJP is the inverse permute — differentiating the *local* mean loss
+# inside shard_map therefore yields, on shard i, the partial of the
+# summed per-shard losses through every use on shard i; `pmean` of those
+# partials is exactly the gradient of the global mean loss.
+# ---------------------------------------------------------------------------
+
+
+def _bn_train(x, bn_params, bn_stats, axis_name):
+    """Train-mode BatchNorm on an H-sharded block with GLOBAL batch
+    statistics (psum over the spatial axis). Returns (y, new_stats)."""
+    n = jax.lax.axis_size(axis_name)
+    cnt = x.shape[0] * x.shape[1] * x.shape[2] * n
+    s, ss = jax.lax.psum(
+        (jnp.sum(x, axis=(0, 1, 2)), jnp.sum(x * x, axis=(0, 1, 2))),
+        axis_name)
+    mean = s / cnt
+    var = ss / cnt - mean * mean
+    y = (x - mean) * jax.lax.rsqrt(var + 1e-5) * bn_params["scale"] \
+        + bn_params["bias"]
+    new_stats = {"mean": 0.9 * bn_stats["mean"] + 0.1 * mean,
+                 "var": 0.9 * bn_stats["var"] + 0.1 * var}
+    return y, new_stats
+
+
+def _double_conv_train(x, params, stats, axis_name):
+    new_stats = {}
+    for i in (0, 1):
+        cna_p = params[f"ConvNormAct_{i}"]
+        cna_s = stats[f"ConvNormAct_{i}"]
+        x = spatial_conv2d(x, cna_p["Conv_0"]["kernel"], padding=1,
+                           axis_name=axis_name)
+        x = x + cna_p["Conv_0"]["bias"]
+        x, ns = _bn_train(x, cna_p["BatchNorm_0"], cna_s["BatchNorm_0"],
+                          axis_name)
+        new_stats[f"ConvNormAct_{i}"] = {"BatchNorm_0": ns}
+        x = jax.nn.relu(x)
+    return x, new_stats
+
+
+def unet_forward_local_train(variables: Dict[str, Any], x: jnp.ndarray,
+                             axis_name: str = "data"):
+    """Shard-local train-mode UNet forward on [B, H_local, W, C] blocks.
+
+    Returns (logits, new_batch_stats) with the same tree structure as
+    ``variables['batch_stats']``; the psum'd statistics are identical on
+    every shard, so the returned stats are replicated."""
+    p, s = variables["params"], variables["batch_stats"]
+    new_stats: Dict[str, Any] = {}
+
+    skips = []
+    for i in range(4):
+        dp = p[f"DownSample_{i}"]["DoubleConv_0"]
+        ds = s[f"DownSample_{i}"]["DoubleConv_0"]
+        x, ns = _double_conv_train(x, dp, ds, axis_name)
+        new_stats[f"DownSample_{i}"] = {"DoubleConv_0": ns}
+        skips.append(x)
+        x = spatial_max_pool2(x)
+
+    x, ns = _double_conv_train(x, p["DoubleConv_0"], s["DoubleConv_0"],
+                               axis_name)
+    new_stats["DoubleConv_0"] = ns
+
+    for i in range(4):
+        up = p[f"UpSampleUNet_{i}"]
+        us = s[f"UpSampleUNet_{i}"]
+        ct = up["TransposedUp_0"]["ConvTranspose_0"]
+        x = spatial_conv_transpose2x2(x, ct["kernel"]) + ct["bias"]
+        x = jnp.concatenate([x, skips[3 - i]], axis=-1)
+        x, ns = _double_conv_train(x, up["DoubleConv_0"], us["DoubleConv_0"],
+                                   axis_name)
+        new_stats[f"UpSampleUNet_{i}"] = {"DoubleConv_0": ns}
+
+    oc = p["OutConv_0"]["Conv_0"]
+    w = oc["kernel"][0, 0]
+    return jnp.einsum("bhwc,cf->bhwf", x, w) + oc["bias"], new_stats
+
+
+def make_spatial_train_step(mesh: Mesh, axis_name: str = "data"):
+    """Full spatially-sharded unet TRAIN step.
+
+    ``step(state, images, masks) -> (state, metrics)`` with images/masks
+    H-sharded over the mesh (``P(None, axis, None, None)``) and the
+    TrainState replicated: halo-exchange forward, global-batch-stat BN,
+    exact gradients through the `ppermute` halos, global-norm clip +
+    AdamW via ``state.tx``, and globally-reduced loss/Dice — training
+    "images beyond one chip" (SURVEY §5), not just inference.
+    """
+    from jax import shard_map
+
+    from unet_zoo_tpu.data.datasets import prepare_images, prepare_masks
+    from unet_zoo_tpu.train.losses import bce_with_logits
+
+    spec = P(None, axis_name, None, None)
+
+    def per_device(state, images, masks):
+        images, masks = prepare_images(images), prepare_masks(masks)
+
+        def loss_fn(params):
+            logits, new_stats = unet_forward_local_train(
+                {"params": params, "batch_stats": state.batch_stats},
+                images, axis_name)
+            return bce_with_logits(logits, masks), (logits, new_stats)
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        grads = jax.lax.pmean(grads, axis_name)
+        loss = jax.lax.pmean(loss, axis_name)
+
+        # Dice with global sums (the shard-local ratio would be wrong)
+        pred = (jax.nn.sigmoid(logits.astype(jnp.float32)) > 0.5
+                ).astype(jnp.float32)
+        tgt = masks.astype(jnp.float32)
+        inter, psum_pred, psum_tgt = jax.lax.psum(
+            (jnp.sum(pred * tgt), jnp.sum(pred), jnp.sum(tgt)), axis_name)
+        union = psum_pred + psum_tgt
+        dice = jnp.where(union == 0, jnp.float32(1.0),
+                         (2.0 * inter + 1e-7) / (union + 1e-7))
+
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=new_stats)
+        return state, {"loss": loss, "dice": dice}
+
+    mapped = shard_map(per_device, mesh=mesh,
+                       in_specs=(P(), spec, spec), out_specs=(P(), P()),
+                       check_vma=False)
+    return jax.jit(mapped)

@@ -324,6 +324,16 @@ def _build_unext_s(in_channels, num_classes, image_size, depth, dtype, **kw):
     return _build_unext_family(True, in_channels, num_classes, image_size, dtype, kw)
 
 
+@register_model("unext_moe")
+def _build_unext_moe(in_channels, num_classes, image_size, depth, dtype, **kw):
+    """Superset entry (no reference counterpart, like ``medt_logo``):
+    UNext-S with every other MiT block's FFN replaced by a top-1-routed
+    Switch-MoE (nn/moe.py) — the expert-parallelism (ep) member of the
+    zoo. Shard it with ``parallel.expert.shard_state_ep``."""
+    kw.setdefault("moe_experts", 4)
+    return _build_unext_family(True, in_channels, num_classes, image_size, dtype, kw)
+
+
 @register_model("egeunet", default_image_size=512)
 def _build_egeunet(in_channels, num_classes, image_size, depth, dtype, **kw):
     return EGEUNet(

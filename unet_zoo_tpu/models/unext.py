@@ -31,6 +31,11 @@ class UNext(nn.Module):
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
+    # >0: every `moe_every`-th MiT block swaps its DWConv-MLP for a
+    # Switch-MoE FFN (nn/moe.py) — the expert-parallel superset entry
+    # `unext_moe` (no reference counterpart).
+    moe_experts: int = 0
+    moe_every: int = 2
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -61,6 +66,9 @@ class UNext(nn.Module):
                     drop=self.drop_rate,
                     attn_drop=self.attn_drop_rate,
                     drop_path=dpr[cur + i],
+                    moe_experts=(self.moe_experts if self.moe_experts and
+                                 (i % self.moe_every == self.moe_every - 1)
+                                 else 0),
                     dtype=dt,
                     name=f"block{s + 1}_{i}",
                 )(h, train)

@@ -173,6 +173,7 @@ class MiTBlock(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    moe_experts: int = 0  # >0: Switch-MoE FFN instead of DWConvMLP (ep)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -184,6 +185,12 @@ class MiTBlock(nn.Module):
                         dtype=self.dtype, name="attn")(h, train)
         x = x + DropPath(self.drop_path)(h, train)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
-        h = DWConvMLP(int(c * self.mlp_ratio), drop=self.drop,
-                      dtype=self.dtype, name="mlp")(h, train)
+        if self.moe_experts > 0:
+            from unet_zoo_tpu.nn.moe import SwitchMoEMLP
+
+            h = SwitchMoEMLP(self.moe_experts, int(c * self.mlp_ratio),
+                             dtype=self.dtype, name="moe_mlp")(h, train)
+        else:
+            h = DWConvMLP(int(c * self.mlp_ratio), drop=self.drop,
+                          dtype=self.dtype, name="mlp")(h, train)
         return x + DropPath(self.drop_path)(h, train)

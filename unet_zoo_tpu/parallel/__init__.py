@@ -10,6 +10,7 @@ from unet_zoo_tpu.parallel.mesh import (
 )
 from unet_zoo_tpu.parallel.fsdp import fsdp_sharding_for, shard_state_fsdp
 from unet_zoo_tpu.parallel.tensor import tp_sharding_for, shard_state_tp
+from unet_zoo_tpu.parallel.expert import ep_sharding_for, shard_state_ep
 from unet_zoo_tpu.parallel.spatial import (
     halo_exchange_h,
     make_spatial_fn,
@@ -37,6 +38,8 @@ __all__ = [
     "shard_state_fsdp",
     "tp_sharding_for",
     "shard_state_tp",
+    "ep_sharding_for",
+    "shard_state_ep",
     "initialize_distributed",
     "is_primary",
     "global_mesh",

@@ -47,10 +47,14 @@ def make_train_step_shard_map(model: ZooModel, mesh: Mesh,
             if batch_stats:
                 variables["batch_stats"] = batch_stats
             outputs, mutated = model.module.apply(
-                variables, images, train=True, mutable=["batch_stats"],
+                variables, images, train=True,
+                mutable=["batch_stats", "aux_loss"],
                 rngs={"dropout": dropout_rng})
             loss = multi_output_loss(outputs, masks, model.loss_weight,
                                      criterion)
+            for leaf in jax.tree_util.tree_leaves(
+                    mutated.get("aux_loss", {})):
+                loss = loss + jnp.sum(leaf)
             return loss, (outputs["main"], mutated.get("batch_stats", {}))
 
         (loss, (main_logits, new_stats)), grads = jax.value_and_grad(

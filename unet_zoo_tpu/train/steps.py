@@ -99,7 +99,8 @@ def make_train_step(model: ZooModel,
         if batch_stats:
             variables["batch_stats"] = batch_stats
         return model.module.apply(
-            variables, images, train=True, mutable=["batch_stats"],
+            variables, images, train=True,
+            mutable=["batch_stats", "aux_loss"],
             rngs={"dropout": dropout_rng},
         )
 
@@ -109,6 +110,10 @@ def make_train_step(model: ZooModel,
     def loss_fn(params, batch_stats, images, masks, dropout_rng):
         outputs, mutated = forward(params, batch_stats, images, dropout_rng)
         loss = multi_output_loss(outputs, masks, model.loss_weight, criterion)
+        # scalar regularizers sown by modules (e.g. the Switch-MoE
+        # load-balancing loss, nn/moe.py) join the segmentation loss
+        for leaf in jax.tree_util.tree_leaves(mutated.get("aux_loss", {})):
+            loss = loss + jnp.sum(leaf)
         return loss, (outputs["main"], mutated.get("batch_stats", {}))
 
     @functools.partial(jax.jit, donate_argnums=(0,))

@@ -1,0 +1,143 @@
+"""Pipeline parallelism (parallel/pipeline.py).
+
+GPipe rotation over the mesh's ``model`` axis: exactness vs the
+sequential layer loop, gradient equivalence through the schedule, and
+the real-model case — uctransnet's 4-layer channel-transformer bridge
+(models/uctransnet.py:186-189) pipelined over 4 stages.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unet_zoo_tpu.models import create_model
+from unet_zoo_tpu.parallel import (
+    create_mesh,
+    merge_microbatches,
+    pipeline_bridge,
+    pipeline_spmd,
+    split_microbatches,
+    stack_stage_params,
+)
+
+
+def _toy_layers(n_layers, d, seed=0):
+    rng = np.random.default_rng(seed)
+    return [
+        {"w": jnp.asarray(rng.standard_normal((d, d)) / np.sqrt(d),
+                          jnp.float32),
+         "b": jnp.asarray(rng.standard_normal((d,)) * 0.1, jnp.float32)}
+        for _ in range(n_layers)
+    ]
+
+
+def _toy_block(params_i, x):
+    # params_i: [L/S, ...] — this stage's layers, applied in order
+    n_local = params_i["w"].shape[0]
+    for j in range(n_local):
+        x = jnp.tanh(x @ params_i["w"][j] + params_i["b"][j])
+    return x
+
+
+def _sequential(layers, x):
+    for p in layers:
+        x = jnp.tanh(x @ p["w"] + p["b"])
+    return x
+
+
+def test_pipeline_matches_sequential_one_layer_per_stage():
+    d, batch, n_mb = 16, 16, 4
+    mesh = create_mesh(jax.devices()[:8], model_axis=8)  # 8 stages
+    layers = _toy_layers(8, d)
+    stage_params = stack_stage_params(layers, 8)
+
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((batch, d)),
+                    jnp.float32)
+    mbs = split_microbatches(x, n_mb)
+    got = merge_microbatches(
+        pipeline_spmd(mesh, _toy_block, stage_params, mbs))
+    want = _sequential(layers, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_pipeline_multi_layer_stages_and_short_stream():
+    # 8 layers over 4 stages (2 per stage); M < S exercises the
+    # drain-dominated schedule
+    d = 8
+    mesh = create_mesh(jax.devices()[:4], model_axis=4)
+    layers = _toy_layers(8, d, seed=2)
+    stage_params = stack_stage_params(layers, 4)
+
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((4, d)),
+                    jnp.float32)
+    for n_mb in (2, 4):
+        mbs = split_microbatches(x, n_mb)
+        got = merge_microbatches(
+            pipeline_spmd(mesh, _toy_block, stage_params, mbs))
+        np.testing.assert_allclose(np.asarray(got),
+                                   np.asarray(_sequential(layers, x)),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_pipeline_gradients_match_sequential():
+    d, batch, n_mb, S = 8, 8, 4, 4
+    mesh = create_mesh(jax.devices()[:4], model_axis=4)
+    layers = _toy_layers(S, d, seed=4)
+    x = jnp.asarray(np.random.default_rng(5).standard_normal((batch, d)),
+                    jnp.float32)
+    tgt = jnp.asarray(np.random.default_rng(6).standard_normal((batch, d)),
+                      jnp.float32)
+
+    def loss_pipe(stage_params):
+        mbs = split_microbatches(x, n_mb)
+        y = merge_microbatches(
+            pipeline_spmd(mesh, _toy_block, stage_params, mbs))
+        return jnp.mean((y - tgt) ** 2)
+
+    def loss_seq(stage_params):
+        y = x
+        for i in range(S):
+            p = jax.tree_util.tree_map(lambda a: a[i, 0], stage_params)
+            y = jnp.tanh(y @ p["w"] + p["b"])
+        return jnp.mean((y - tgt) ** 2)
+
+    stage_params = stack_stage_params(layers, S)
+    g_pipe = jax.jit(jax.grad(loss_pipe))(stage_params)
+    g_seq = jax.jit(jax.grad(loss_seq))(stage_params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        g_pipe, g_seq)
+
+
+def test_bridge_pipeline_matches_inmodel_loop():
+    """The real zoo stack: uctransnet's channel-transformer bridge,
+    one CTransBlock per stage, vs the in-model sequential loop with the
+    same params (models/uctransnet.py:186-189)."""
+    from unet_zoo_tpu.models.uctransnet import CTransBlock
+
+    mesh = create_mesh(jax.devices()[:4], model_axis=4)
+    model = create_model("uctransnet", image_size=64)
+    variables = model.init(jax.random.PRNGKey(0), model.dummy_input(1, 64))
+
+    channel_num = (16, 32, 64, 128)  # base_channel 16 defaults
+    batch, n_tok = 8, 4  # 64px with patch sizes (32,16,8,4): 2x2 tokens
+    rng = np.random.default_rng(7)
+    embs = [jnp.asarray(rng.standard_normal((batch, n_tok, c)) * 0.1,
+                        jnp.float32) for c in channel_num]
+
+    got = pipeline_bridge(mesh, variables, embs, channel_num=channel_num,
+                          num_microbatches=8)
+
+    block = CTransBlock(channel_num)
+    mtc = variables["params"]["mtc"]
+    want = tuple(embs)
+    for i in range(4):
+        outs, _ = block.apply({"params": mtc[f"layer_{i}"]}, list(want),
+                              False)
+        want = tuple(outs)
+
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-5, atol=2e-5)

@@ -11,6 +11,13 @@ from unet_zoo_tpu.parallel.mesh import (
 from unet_zoo_tpu.parallel.fsdp import fsdp_sharding_for, shard_state_fsdp
 from unet_zoo_tpu.parallel.tensor import tp_sharding_for, shard_state_tp
 from unet_zoo_tpu.parallel.expert import ep_sharding_for, shard_state_ep
+from unet_zoo_tpu.parallel.pipeline import (
+    pipeline_spmd,
+    pipeline_bridge,
+    stack_stage_params,
+    split_microbatches,
+    merge_microbatches,
+)
 from unet_zoo_tpu.parallel.spatial import (
     halo_exchange_h,
     make_spatial_fn,
@@ -40,6 +47,11 @@ __all__ = [
     "shard_state_tp",
     "ep_sharding_for",
     "shard_state_ep",
+    "pipeline_spmd",
+    "pipeline_bridge",
+    "stack_stage_params",
+    "split_microbatches",
+    "merge_microbatches",
     "initialize_distributed",
     "is_primary",
     "global_mesh",

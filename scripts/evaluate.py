@@ -38,6 +38,7 @@ from unet_zoo_tpu.data.datasets import BoneDataset
 from unet_zoo_tpu.data.grain_loader import create_loader
 from unet_zoo_tpu.models import create_model
 from unet_zoo_tpu.train.loop import evaluate_model
+from unet_zoo_tpu.train.losses import get_criterion
 from unet_zoo_tpu.utils.checkpoint import checkpoint_exists, load_checkpoint
 from unet_zoo_tpu.utils.logger import Logger
 from unet_zoo_tpu.utils.visualize import (
@@ -70,6 +71,10 @@ def main():
     batch_size = ev.get("batch_size", 4)
     num_classes = ev.get("num_classes", 1)
     num_samples = ev.get("visualization_samples", 5)
+    # optional criterion override (train/losses.py); default matches the
+    # reference's hard-coded BCEWithLogitsLoss
+    criterion = get_criterion(ev.get("loss", "bce"),
+                              **(ev.get("loss_kwargs") or {}))
 
     test_ds = BoneDataset(data["dataset_dir"], "test", image_size=image_size,
                           transfer_dtype=data.get("transfer_dtype", "uint8"))
@@ -95,7 +100,8 @@ def main():
             model = create_model(name, **params)
             restored = load_checkpoint(ckpt)
             variables = restored.get("variables", restored)
-            loss, dice = evaluate_model(model, variables, test_loader, name, logger)
+            loss, dice = evaluate_model(model, variables, test_loader, name,
+                                        logger, criterion=criterion)
             results[name] = (loss, dice)
             vis_configs.append({"name": name, "checkpoint": ckpt, "params": params})
         except Exception as e:

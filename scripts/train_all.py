@@ -28,6 +28,7 @@ from unet_zoo_tpu.data.grain_loader import create_loader
 from unet_zoo_tpu.models import create_model
 from unet_zoo_tpu.parallel import create_mesh_for_batch
 from unet_zoo_tpu.train.loop import evaluate_model, train_model
+from unet_zoo_tpu.train.losses import get_criterion
 from unet_zoo_tpu.train.metrics import check_dataset_integrity
 from unet_zoo_tpu.utils.checkpoint import checkpoint_exists, load_checkpoint
 from unet_zoo_tpu.utils.logger import Logger
@@ -80,7 +81,8 @@ def run_evaluation_phase(models_to_evaluate, overall_config, config,
             restored = load_checkpoint(best)
             variables = restored.get("variables", restored)
             test_loss, test_dice = evaluate_model(
-                model, variables, test_loader, model_name, logger)
+                model, variables, test_loader, model_name, logger,
+                criterion=get_criterion(config.LOSS, **config.LOSS_KWARGS))
             all_test_results[model_name] = (test_loss, test_dice)
             vis_configs.append({"name": model_name, "checkpoint": best,
                                 "params": dict(params)})

@@ -51,6 +51,10 @@ class Config:
         self.NUM_CLASSES = t["num_classes"]
         self.WEIGHT_DECAY = float(t.get("weight_decay", 1e-5))
         self.MAX_GRAD_NORM = float(t.get("max_grad_norm", 1.0))
+        # per-output criterion (train/losses.py get_criterion):
+        # bce (reference-faithful default) | dice | bce_dice | focal | tversky
+        self.LOSS: str = t.get("loss", "bce")
+        self.LOSS_KWARGS: Dict[str, Any] = dict(t.get("loss_kwargs") or {})
 
         gpu = d.get("gpu", {})
         self.USE_MULTI_GPU = gpu.get("use_multi_gpu", False)

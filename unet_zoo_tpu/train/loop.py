@@ -29,6 +29,7 @@ from unet_zoo_tpu.config import Config
 from unet_zoo_tpu.models import ZooModel
 from unet_zoo_tpu.parallel import batch_sharding, replicate_state
 from unet_zoo_tpu.train.early_stopping import EarlyStopping
+from unet_zoo_tpu.train.losses import bce_with_logits, get_criterion
 from unet_zoo_tpu.train.lr_scheduler import DiceScheduler
 from unet_zoo_tpu.train.steps import (
     TrainState,
@@ -231,12 +232,20 @@ def train_model(
     # on-device augmentation is a *placement* modifier of AUGMENT, not an
     # independent switch: flips run in the train step only when both are on
     # (host-side flips are disabled by the scripts in exactly that case)
+    # YAML-selected criterion (training: {loss, loss_kwargs}); 'bce' is the
+    # reference-faithful default (ref: scripts/train.py:135)
+    criterion = get_criterion(getattr(config, "LOSS", "bce"),
+                              **getattr(config, "LOSS_KWARGS", {}))
+    if getattr(config, "LOSS", "bce") != "bce":
+        logger.log_both(
+            f"  Loss: {config.LOSS} {getattr(config, 'LOSS_KWARGS', {}) or ''}")
     train_step = make_train_step(
-        model, augment=(getattr(config, "AUGMENT", False)
-                        and getattr(config, "AUGMENT_ON_DEVICE", False)),
+        model, criterion=criterion,
+        augment=(getattr(config, "AUGMENT", False)
+                 and getattr(config, "AUGMENT_ON_DEVICE", False)),
         remat=model.train_remat,
         accum_steps=getattr(config, "GRAD_ACCUM_STEPS", 1))
-    eval_step = make_eval_step(model)
+    eval_step = make_eval_step(model, criterion=criterion)
 
     train_losses: List[float] = []
     train_dcs: List[float] = []
@@ -327,9 +336,9 @@ def train_model(
 
 def evaluate_model(model: ZooModel, variables, test_dataloader,
                    model_name: str, logger: Logger,
-                   sharding=None) -> Tuple[float, float]:
+                   sharding=None, criterion=bce_with_logits) -> Tuple[float, float]:
     """Test-set evaluation (ref evaluate_model :287-325)."""
-    eval_step = make_eval_step(model)
+    eval_step = make_eval_step(model, criterion=criterion)
     logger.log_both(f"\nEvaluating {model_name} on test set...")
     loss, dice = validate_one_epoch(eval_step, variables, test_dataloader,
                                     model_name, logger, sharding)

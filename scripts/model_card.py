@@ -1,0 +1,201 @@
+#!/usr/bin/env python
+"""Generate model cards from the registry + measured artifacts.
+
+The reference lists "Model Card Integration: Provide templates for
+creating model cards" as roadmap work (ref: README.md:181). This script
+delivers it: `MODEL_CARD_TEMPLATE.md` is the template, and every field a
+machine can fill is filled from live sources — the model registry
+(constructor contracts, loss weights), `MODELS.md` (architecture essence,
+params, GF/img, parity status), `BENCH_ALL.json` (measured throughputs),
+and `CONVERGENCE.json` (training-to-quality receipts). No numbers are
+invented: fields without a measured source render as "not measured".
+
+Usage:
+    python scripts/model_card.py --model unet            # one card, stdout
+    python scripts/model_card.py --all --out model_cards # all, to files
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+if os.environ.get("UNET_ZOO_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["UNET_ZOO_PLATFORM"])
+
+
+def load_models_md():
+    """Parse MODELS.md's inventory table -> {name: (essence, params, gf, parity)}."""
+    rows = {}
+    path = os.path.join(REPO, "MODELS.md")
+    with open(path) as f:
+        for line in f:
+            m = re.match(r"\|\s*`(\w+)`\s*\|", line)
+            if not m:
+                continue
+            cols = [c.strip() for c in line.strip().strip("|").split("|")]
+            # | name | essence | params | GF | img/s | parity |
+            if len(cols) >= 6:
+                rows[m.group(1)] = (cols[1], cols[2], cols[3], cols[5])
+    return rows
+
+
+def perf_rows(name, bench):
+    out = []
+
+    def row(label, sec):
+        v = bench.get(sec, {}).get(name)
+        if v is None:
+            return f"| {label} | not measured |"
+        if isinstance(v, dict):
+            return f"| {label} | {v['img_s']:.0f} img/s (b{v['batch']}) |"
+        return f"| {label} | {v:.0f} img/s |"
+
+    out.append(row("forward, b32-class", "fwd"))
+    out.append(row("forward, best serving batch", "fwd_best"))
+    out.append(row("full train step (fwd+bwd+AdamW), b32-class", "train"))
+    out.append(row("full train step, best batch", "train_best"))
+    return "\n".join(out)
+
+
+def loss_weights_section(spec):
+    if not spec.loss_weights:
+        return ("Single-output model: the `main` logits take the full loss "
+                "weight. The training criterion is configurable "
+                "(`training: {loss: bce|dice|bce_dice|focal|tversky}`, "
+                "default `bce` — reference-faithful).")
+    ws = ", ".join(f"`{k}`={v}" for k, v in sorted(spec.loss_weights.items()))
+    return (f"Deep-supervision loss weights (attached to the registry "
+            f"entry, matching the reference's weighted multi-output sum): "
+            f"{ws}; unlisted side outputs default to "
+            f"{spec.default_aux_weight}. The per-output criterion is "
+            f"configurable (`training: {{loss: ...}}`, default `bce`).")
+
+
+def build_card(name, template, md_rows, bench, conv):
+    from unet_zoo_tpu.models import _REGISTRY
+
+    spec = _REGISTRY[name]
+    essence, params, gf, parity = md_rows.get(
+        name, ("(see MODELS.md)", "—", "—", "see tests/test_parity*.py"))
+
+    if spec.requires_image_size:
+        contract = (f"requires `image_size` (default "
+                    f"{spec.default_image_size}) — static-shape contract, "
+                    f"same as the reference")
+        ctor_extra = f", image_size={spec.default_image_size or 256}"
+    else:
+        contract = "any H, W divisible by the model's downsampling factor"
+        ctor_extra = ""
+
+    if spec.loss_weights:
+        keys = " + ".join(f"`{k}`" for k in sorted(spec.loss_weights))
+        protocol = (f"`{{'main': logits}}` plus deep-supervision outputs "
+                    f"({keys})")
+    else:
+        protocol = "`{'main': logits}`"
+
+    dice = conv.get("best_val_dice", {}).get(name)
+    if dice is None:
+        convergence_row = ("Not yet in the convergence sweep "
+                           "(see CONVERGENCE.json for covered members).")
+    else:
+        convergence_row = (f"**Best validation Dice {dice:.4f}** on the "
+                           f"learnable shapes task (TPU v5e, 256px, "
+                           f"12 epochs).")
+
+    notes = []
+    if spec.train_remat:
+        notes.append("- `train_remat` defaults on: the train step "
+                     "checkpoints the forward (activation recompute) — a "
+                     "measured win for this member's activation-bound "
+                     "backward (BENCH_NOTES.md).")
+    if name in ("wranet", "mmunet", "medt_logo", "axialunet", "gated",
+                "logo", "medt"):
+        notes.append("- Throughput is architecture-bound, not "
+                     "framework-bound — the structural attribution "
+                     "(gather/scatter traffic or BN-on-similarity HBM "
+                     "pressure) is in BENCH_NOTES.md.")
+    if name == "unext_moe":
+        notes.append("- Superset entry (no reference counterpart): "
+                     "Switch-MoE FFN with expert-parallel sharding "
+                     "(`parallel/expert.py`); the load-balancing aux loss "
+                     "joins the train loss automatically.")
+    if name == "medt_logo":
+        notes.append("- Superset entry: the reference's dead-code LoGo "
+                     "dual-branch class, reproduced including its "
+                     "64-channel local-stem quirk.")
+    if name == "vnet":
+        notes.append("- The reference refuses to train vnet (quirk Q3); "
+                     "this rebuild trains it (receipt above).")
+    if not notes:
+        notes.append("- None beyond the zoo-wide ones (static shapes; "
+                     "bfloat16 compute with float32 params).")
+
+    return template.format(
+        name=name,
+        generated_note=("Generated by `scripts/model_card.py` from the "
+                        "registry, MODELS.md, BENCH_ALL.json and "
+                        "CONVERGENCE.json — regenerate with "
+                        "`python scripts/model_card.py --all`."),
+        essence=essence,
+        params=params,
+        gflops=gf,
+        in_channels=1 if name == "vnet" else 3,
+        output_protocol=protocol,
+        image_size_contract=contract,
+        ctor_extra=ctor_extra,
+        perf_rows=perf_rows(name, bench),
+        convergence_row=convergence_row,
+        parity=parity,
+        loss_weights_section=loss_weights_section(spec),
+        notes="\n".join(notes),
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default=None)
+    ap.add_argument("--all", action="store_true")
+    ap.add_argument("--out", default=None,
+                    help="directory for generated cards (default: stdout "
+                         "for --model, model_cards/ for --all)")
+    args = ap.parse_args()
+
+    from unet_zoo_tpu.models import list_models
+
+    with open(os.path.join(REPO, "MODEL_CARD_TEMPLATE.md")) as f:
+        template = f.read()
+    md_rows = load_models_md()
+    with open(os.path.join(REPO, "BENCH_ALL.json")) as f:
+        bench = json.load(f)
+    conv_path = os.path.join(REPO, "CONVERGENCE.json")
+    conv = json.load(open(conv_path)) if os.path.exists(conv_path) else {}
+
+    names = list_models() if args.all else [args.model]
+    if names == [None]:
+        ap.error("--model NAME or --all required")
+
+    out_dir = args.out or ("model_cards" if args.all else None)
+    for name in names:
+        card = build_card(name, template, md_rows, bench, conv)
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+            path = os.path.join(out_dir, f"{name}.md")
+            with open(path, "w") as f:
+                f.write(card)
+            print(f"wrote {path}")
+        else:
+            print(card)
+
+
+if __name__ == "__main__":
+    main()

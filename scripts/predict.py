@@ -67,6 +67,10 @@ def parse_arguments():
     p.add_argument("--tile", type=int, default=None,
                    help="tile size for --tiled (default: --image-size)")
     p.add_argument("--overlap", type=float, default=0.25)
+    p.add_argument("--tta", action="store_true",
+                   help="flip test-time augmentation: average probabilities "
+                        "over the 4 H/V-flip variants (one XLA program; "
+                        "fixed-size path, mask/probs outputs)")
     p.add_argument("--int8", action="store_true",
                    help="post-training int8 calibration on the first batch")
     p.add_argument("--export", default=None, metavar="PATH",
@@ -165,6 +169,10 @@ def main():
         print(f"export: StableHLO artifact -> {args.export} "
               f"(batch {args.batch}, {args.image_size}px)")
 
+    if args.tta and (args.tiled or args.output_kind == "logits"):
+        raise SystemExit("--tta averages probabilities on the fixed-size "
+                         "path: use without --tiled and with "
+                         "--output-kind mask|probs")
     stem = lambda f: os.path.splitext(os.path.basename(f))[0]
     if args.tiled:
         predict = serving.make_tiled_predictor(
@@ -181,7 +189,7 @@ def main():
 
     predict = serving.make_predictor(
         model, variables, output=args.output_kind, threshold=args.threshold,
-        cast_bf16=cast_bf16)
+        cast_bf16=cast_bf16, tta=args.tta)
     B = args.batch
     for i in range(0, len(files), B):
         chunk = files[i:i + B]

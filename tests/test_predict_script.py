@@ -84,6 +84,14 @@ def test_predict_masks_and_tiled(tmp_path):
     mq = np.asarray(PILImage.open(out_q / "im0.png"))
     assert mq.shape == (48, 40) and set(np.unique(mq)) <= {0, 255}
 
+    # TTA path: flip-ensemble masks, same output contract
+    out_a = tmp_path / "preds_tta"
+    _run(["--model", "unet", "--checkpoint", str(ckpt),
+          "--input", str(img_dir / "im0.png"), "--output", str(out_a),
+          "--image-size", "32", "--batch", "1", "--tta"])
+    ma = np.asarray(PILImage.open(out_a / "im0.png"))
+    assert ma.shape == (48, 40) and set(np.unique(ma)) <= {0, 255}
+
 
 @pytest.mark.slow
 def test_predict_export_artifact(tmp_path):

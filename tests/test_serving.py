@@ -160,3 +160,28 @@ def test_tiled_mask_output_dtype_and_shape():
     assert mask.shape == (1, 33, 47, 2)
     assert mask.dtype == jnp.uint8
     assert set(np.unique(np.asarray(mask))) <= {0, 1}
+
+
+def test_tta_is_mean_of_flip_variants():
+    import pytest
+
+    model, variables, x = _setup()
+    plain = make_predictor(model, variables, "probs", cast_bf16=False)
+    tta = make_predictor(model, variables, "probs", cast_bf16=False, tta=True)
+    want = (np.asarray(plain(x))
+            + np.asarray(plain(x[:, ::-1]))[:, ::-1]
+            + np.asarray(plain(x[:, :, ::-1]))[:, :, ::-1]
+            + np.asarray(plain(x[:, ::-1, ::-1]))[:, ::-1, ::-1]) / 4.0
+    np.testing.assert_allclose(np.asarray(tta(x)), want, atol=1e-5)
+    # averaging over the flip group makes the ensemble flip-equivariant
+    np.testing.assert_allclose(np.asarray(tta(x[:, ::-1]))[:, ::-1],
+                               np.asarray(tta(x)), atol=1e-5)
+    with pytest.raises(ValueError, match="tta averages probabilities"):
+        make_predictor(model, variables, "logits", tta=True)
+
+
+def test_tta_mask_output():
+    model, variables, x = _setup()
+    mask = make_predictor(model, variables, "mask", cast_bf16=False,
+                          tta=True)(x)
+    assert mask.dtype == jnp.uint8 and mask.shape == (2, 32, 32, 1)

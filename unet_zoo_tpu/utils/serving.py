@@ -71,12 +71,25 @@ def make_predictor(
     threshold: float = 0.5,
     cast_bf16: bool = True,
     mesh=None,
+    tta: bool = False,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Jitted ``predict(images NHWC) -> main output`` closure.
 
     ``output='mask'`` returns the thresholded binary mask (uint8),
     ``'probs'`` the sigmoid probabilities (f32), ``'logits'`` raw logits.
+
+    ``tta=True`` enables flip test-time augmentation: probabilities are
+    averaged over the four H/V-flip variants (each un-flipped before the
+    average) — the same invariance group as the training-time
+    augmentation (data/augment.py), so the ensemble is exactly
+    flip-equivariant: ``tta(flip(x)) == flip(tta(x))``. All four
+    forwards run inside ONE XLA program (a 4x-batch stack — the MXU sees
+    one larger batch, not four launches). Probability-space averaging
+    only: ``output='logits'`` with TTA is rejected.
     """
+    if tta and output == "logits":
+        raise ValueError("tta averages probabilities; use output='probs' "
+                         "or 'mask' (mean-of-logits is not the ensemble)")
     if cast_bf16:
         variables = cast_params_for_inference(variables)
     if mesh is not None:
@@ -86,10 +99,27 @@ def make_predictor(
 
     @jax.jit
     def predict(images: jnp.ndarray) -> jnp.ndarray:
-        logits = model.module.apply(variables, images, train=False)["main"]
-        if output == "logits":
-            return logits
-        probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+        if tta:
+            b = images.shape[0]
+            variants = jnp.concatenate([
+                images,
+                images[:, ::-1, :, :],
+                images[:, :, ::-1, :],
+                images[:, ::-1, ::-1, :],
+            ], axis=0)
+            logits = model.module.apply(
+                variables, variants, train=False)["main"]
+            p = jax.nn.sigmoid(logits.astype(jnp.float32))
+            probs = (p[:b]
+                     + p[b:2 * b, ::-1, :, :]
+                     + p[2 * b:3 * b, :, ::-1, :]
+                     + p[3 * b:, ::-1, ::-1, :]) * 0.25
+        else:
+            logits = model.module.apply(
+                variables, images, train=False)["main"]
+            if output == "logits":
+                return logits
+            probs = jax.nn.sigmoid(logits.astype(jnp.float32))
         if output == "probs":
             return probs
         return (probs > threshold).astype(jnp.uint8)

@@ -46,12 +46,13 @@ def make_dataset(root: str, n: int, size: int) -> None:
 
 
 def bench(root: str, image_size: int, batch: int, workers: int,
-          to_device: bool, backend: str = "native") -> float:
+          to_device: bool, backend: str = "native",
+          decoder: str = "auto") -> float:
     from unet_zoo_tpu.data.datasets import BoneDataset
     from unet_zoo_tpu.data.grain_loader import create_loader
     from unet_zoo_tpu.data.loader import prefetch_to_device
 
-    ds = BoneDataset(root, "train", image_size=image_size)
+    ds = BoneDataset(root, "train", image_size=image_size, decoder=decoder)
     loader = create_loader(ds, batch_size=batch, shuffle=True,
                            num_workers=workers, drop_last=True,
                            backend=backend)
@@ -85,13 +86,17 @@ def main():
                     help="include host->device transfer")
     ap.add_argument("--backend", default="native",
                     choices=["native", "grain"])
+    ap.add_argument("--decoder", default="auto",
+                    choices=["auto", "pil", "cpp"],
+                    help="decode engine: cpp = the native C++ pipeline "
+                         "(libpng/libjpeg, GIL-free threads)")
     args = ap.parse_args()
 
     sizes = [int(s) for s in args.sizes.split(",")]
     make_dataset(args.out, args.n, max(sizes))
     for size in sizes:
         ips = bench(args.out, size, args.batch, args.workers, args.device,
-                    args.backend)
+                    args.backend, args.decoder)
         print(json.dumps({
             "metric": f"loader_images_per_sec_{size}px"
                       + ("_to_device" if args.device else ""),
@@ -99,6 +104,7 @@ def main():
             "unit": "images/sec",
             "workers": args.workers,
             "backend": args.backend,
+            "decoder": args.decoder,
         }))
 
 

@@ -77,7 +77,8 @@ def main():
                               **(ev.get("loss_kwargs") or {}))
 
     test_ds = BoneDataset(data["dataset_dir"], "test", image_size=image_size,
-                          transfer_dtype=data.get("transfer_dtype", "uint8"))
+                          transfer_dtype=data.get("transfer_dtype", "uint8"),
+                          decoder=data.get("decoder", "auto"))
     test_loader = create_loader(test_ds, batch_size,
                                 num_workers=data.get("num_workers", 4),
                                 backend=data.get("loader", "native"))

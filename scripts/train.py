@@ -113,11 +113,13 @@ def main():
                                 image_size=config.IMAGE_SIZE,
                                 augment=config.AUGMENT and not config.AUGMENT_ON_DEVICE,
                                 cache=config.CACHE_DATA,
-                                transfer_dtype=config.TRANSFER_DTYPE)
+                                transfer_dtype=config.TRANSFER_DTYPE,
+                                decoder=config.DECODER)
     val_dataset = BoneDataset(config.DATASET_DIR, split="valid",
                               image_size=config.IMAGE_SIZE,
                               cache=config.CACHE_DATA,
-                              transfer_dtype=config.TRANSFER_DTYPE)
+                              transfer_dtype=config.TRANSFER_DTYPE,
+                              decoder=config.DECODER)
     logger.log_both(f"Train dataset size: {len(train_dataset)}")
     logger.log_both(f"Validation dataset size: {len(val_dataset)}")
 

@@ -112,13 +112,16 @@ def main():
     train_ds = BoneDataset(config.DATASET_DIR, "train",
                            image_size=config.IMAGE_SIZE,
                            augment=config.AUGMENT and not config.AUGMENT_ON_DEVICE, cache=config.CACHE_DATA,
-                           transfer_dtype=config.TRANSFER_DTYPE)
+                           transfer_dtype=config.TRANSFER_DTYPE,
+                           decoder=config.DECODER)
     val_ds = BoneDataset(config.DATASET_DIR, "valid",
                          image_size=config.IMAGE_SIZE, cache=config.CACHE_DATA,
-                         transfer_dtype=config.TRANSFER_DTYPE)
+                         transfer_dtype=config.TRANSFER_DTYPE,
+                         decoder=config.DECODER)
     test_ds = BoneDataset(config.DATASET_DIR, "test",
                           image_size=config.IMAGE_SIZE,
-                          transfer_dtype=config.TRANSFER_DTYPE)
+                          transfer_dtype=config.TRANSFER_DTYPE,
+                          decoder=config.DECODER)
     train_loader = create_loader(train_ds, config.BATCH_SIZE, shuffle=True,
                                  drop_last=True,
                                  num_workers=config.NUM_WORKERS,

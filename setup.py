@@ -11,6 +11,9 @@ setup(
     ),
     author="unet-zoo-tpu contributors",
     packages=find_packages(include=["unet_zoo_tpu", "unet_zoo_tpu.*"]),
+    # the native decode pipeline ships as source and builds lazily with
+    # the system g++ on first use (unet_zoo_tpu/native/__init__.py)
+    package_data={"unet_zoo_tpu.native": ["io_native.cpp"]},
     python_requires=">=3.10",
     install_requires=[
         "jax",

@@ -30,6 +30,9 @@ class Config:
         self.CACHE_DATA = d["data"].get("cache", False)
         # host input pipeline: 'native' (thread/process pools) or 'grain'
         self.LOADER = d["data"].get("loader", "native")
+        # decode engine: 'auto' (C++ libpng/libjpeg pipeline when it
+        # compiled on this host, PIL otherwise), 'cpp', or 'pil'
+        self.DECODER = d["data"].get("decoder", "auto")
         # host->device transfer dtype: 'uint8' ships raw pixels and
         # normalizes inside the compiled step (4x fewer bytes, identical
         # f32 math — the standard TPU input-pipeline recipe); 'float32'

@@ -63,7 +63,7 @@ class BoneDataset:
     def __init__(self, root_path: str, split: str = "train",
                  limit: Optional[int] = None, image_size: int = 512,
                  cache: bool = False, augment: bool = False, seed: int = 0,
-                 transfer_dtype: str = "float32"):
+                 transfer_dtype: str = "float32", decoder: str = "auto"):
         self.root_path = root_path
         self.split = split
         self.limit = limit
@@ -83,6 +83,15 @@ class BoneDataset:
         # jointly to image+mask
         self.augment = augment
         self._aug_rng = np.random.default_rng(seed)
+        # decode engine: "cpp" = the native C++ pipeline (libpng/libjpeg +
+        # PIL-equivalent resample, GIL released — see unet_zoo_tpu/native/),
+        # "pil" = reference-faithful PIL, "auto" = cpp when it compiled on
+        # this host, per-file PIL fallback for formats it doesn't cover
+        # (tiff/bmp) or on decode errors. Numerics agree within +-1 LSB
+        # (tests/test_native_io.py).
+        if decoder not in ("auto", "pil", "cpp"):
+            raise ValueError(f"decoder must be auto|pil|cpp, got {decoder!r}")
+        self.decoder = decoder
 
         images_path = os.path.join(root_path, split, "images")
         masks_path = os.path.join(root_path, split, "masks")
@@ -117,6 +126,34 @@ class BoneDataset:
             img, mask = img[::-1].copy(), mask[::-1].copy()
         return img, mask
 
+    def _decode_pair(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+        """(image uint8 [S,S,3], mask uint8 [S,S]) via cpp or PIL."""
+        s = self.image_size
+        ip, mp = self.images[index], self.masks[index]
+        if self.decoder in ("auto", "cpp"):
+            from unet_zoo_tpu import native
+
+            if native.supports(ip) and native.supports(mp) and \
+                    native.available():
+                try:
+                    return (native.load_image(ip, s, 3),
+                            native.load_image(mp, s, 1))
+                except RuntimeError:
+                    if self.decoder == "cpp":
+                        raise
+                    # auto: corrupt/unusual file — PIL gets a try below
+            elif self.decoder == "cpp":
+                raise RuntimeError(
+                    f"decoder='cpp' but native decode unavailable for "
+                    f"{ip!r} (lib error: {native.build_error()})")
+
+        from PIL import Image  # lazy: PIL only needed for on-disk data
+
+        size = (s, s)
+        img = Image.open(ip).convert("RGB").resize(size, Image.BILINEAR)
+        mask = Image.open(mp).convert("L").resize(size, Image.BILINEAR)
+        return np.asarray(img, np.uint8), np.asarray(mask, np.uint8)
+
     def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray, str]:
         if self.cache and index in self._cache:
             img_np, mask_np = self._cache[index]
@@ -124,23 +161,15 @@ class BoneDataset:
                 img_np, mask_np = self._augment(img_np, mask_np)
             return img_np, mask_np, self.images[index]
 
-        from PIL import Image  # lazy: PIL only needed for on-disk data
-
-        size = (self.image_size, self.image_size)
-        img = Image.open(self.images[index]).convert("RGB").resize(
-            size[::-1], Image.BILINEAR
-        )
-        mask = Image.open(self.masks[index]).convert("L").resize(
-            size[::-1], Image.BILINEAR
-        )
+        img_u8, mask_u8 = self._decode_pair(index)
         if self.transfer_dtype == "uint8":
-            img_np = np.asarray(img, dtype=np.uint8)
+            img_np = img_u8
             # integer threshold: v/255 > 0.5 <=> v > 127 (identical split
             # to the f32 path for 8-bit sources)
-            mask_np = (np.asarray(mask, dtype=np.uint8) > 127).astype(np.uint8)
+            mask_np = (mask_u8 > 127).astype(np.uint8)
         else:
-            img_np = _normalize(np.asarray(img, dtype=np.float32) / 255.0)
-            mask_np = (np.asarray(mask, dtype=np.float32) / 255.0 > 0.5
+            img_np = _normalize(img_u8.astype(np.float32) / 255.0)
+            mask_np = (mask_u8.astype(np.float32) / 255.0 > 0.5
                        ).astype(np.float32)
         mask_np = mask_np[..., None]
         if self.cache:

@@ -89,6 +89,16 @@ class DataLoader:
 
                 cores = os.cpu_count() or 1
             want_procs = self.num_workers > 1 and cores > 1
+            if want_procs and getattr(self.dataset, "decoder", None) in (
+                    "auto", "cpp"):
+                # the C++ decode pipeline releases the GIL, so plain
+                # threads scale across cores WITHOUT the process pool's
+                # costs (pickled dataset per worker, per-worker decode
+                # caches, spawn latency)
+                from unet_zoo_tpu import native
+
+                if native.available():
+                    want_procs = False
         if want_procs:
             try:
                 # NOTE: with cache=True every process worker builds its own

@@ -34,6 +34,13 @@ if os.environ.get("UNET_ZOO_PLATFORM"):
 
 NORTH_STAR_IMG_PER_SEC = 5000.0
 
+# Physical bf16 roofline for the headline member on this chip (v5e,
+# 197 TF/s bf16): unet at 256px is 94.2 GF/img ⇒ 2089 img/s if every
+# FLOP ran at MXU peak. The 5000 img/s north star exceeds this member's
+# physics by 2.4x (receipts: BENCH_NOTES.md "the unet headline is
+# XLA-bound"); vs_roofline is the machine-readable form of that context.
+UNET_BF16_ROOFLINE_IMG_PER_SEC = 2089.0
+
 
 def bench_model(model_name: str, batch: int, size: int, dtype_str: str,
                 mode: str, nbatches: int = 10,
@@ -242,12 +249,18 @@ def main():
     tag = "_int8" if args.int8 else ""
     if args.accum > 1:
         tag += f"_accum{args.accum}"
-    print(json.dumps({
+    record = {
         "metric": f"{args.model}_{args.mode}{tag}_images_per_sec_{args.size}px",
         "value": round(ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / NORTH_STAR_IMG_PER_SEC, 4),
-    }))
+    }
+    if args.model == "unet" and args.mode == "fwd" and args.size == 256:
+        # context: the north star is 2.4x above this member's physical
+        # bf16 roofline; report the ratio against physics alongside
+        record["roofline_images_per_sec"] = UNET_BF16_ROOFLINE_IMG_PER_SEC
+        record["vs_roofline"] = round(ips / UNET_BF16_ROOFLINE_IMG_PER_SEC, 4)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

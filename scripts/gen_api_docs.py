@@ -142,9 +142,9 @@ def _render_class(name: str, obj) -> list[str]:
     for mname, mobj in vars(obj).items():
         if not _is_public(mname) or mname in _SKIP_METHODS:
             continue
-        func = mobj.func if isinstance(mobj, staticmethod) else mobj
-        if isinstance(mobj, classmethod):
-            func = mobj.__func__
+        # staticmethod/classmethod both expose the wrapped function as
+        # __func__ (staticmethod has no .func attribute on py3.12).
+        func = mobj.__func__ if isinstance(mobj, (staticmethod, classmethod)) else mobj
         if isinstance(mobj, property):
             pdoc = _first_line(_doc(mobj))
             methods.append((1 << 29, [f"- **`.{mname}`** (property)"
@@ -180,7 +180,9 @@ def build() -> str:
     ]
     modules = list(_iter_modules())
     for name, mod in modules:
-        anchor = name.replace(".", "").replace("_", "").lower()
+        # GitHub's heading slugger: lowercase, drop punctuation (backticks,
+        # dots), KEEP underscores. Heading text is `name` in backticks.
+        anchor = name.replace(".", "").lower()
         lines.append(f"- [`{name}`](#{anchor}) — {_first_line(_doc(mod))}")
     lines.append("")
     for name, mod in modules:

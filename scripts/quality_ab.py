@@ -1,0 +1,263 @@
+#!/usr/bin/env python
+"""Quality A/B: the reference PyTorch trainer vs this repo's trainer.
+
+Round-3 verdict item 6: per-model convergence receipts existed only for
+this repo; "matches the reference on training quality" was inferred from
+inference-logit parity, never measured. This script measures it:
+
+* Side A — the ACTUAL reference `train_model`
+  (/root/reference/unet_zoo/utils/training_loop.py:182), torch CPU, with
+  the tests' timm/torchvision stubs installed. The reference's
+  BoneDataset hard-codes a 512x512 resize (quirk Q6), which is
+  infeasible for a CPU A/B, so the dataset handed to it is a faithful
+  re-implementation of BoneDataset's per-sample pipeline (RGB convert,
+  bilinear resize, ToTensor, ImageNet normalize, mask > 0.5 — ref
+  data/datasets.py:40-59) at a configurable size. Everything else is the
+  reference's own code: loss dispatch, grad clip, Dice, EarlyStopping,
+  DiceScheduler, checkpointing.
+* Side B — this repo's production path: `scripts/train.py --config` as a
+  subprocess on the SAME on-disk PNG dataset, same
+  batch/lr/wd/epochs/patience; per-epoch val Dice parsed from the
+  training log.
+
+Both sides see identical pixels; parameter inits differ (torch vs JAX
+RNG), so the comparison is of convergence trajectories, not bitwise
+state. Output: QUALITY_AB.json {model: {reference: [...], repo: [...]}}
+and a merged "quality_ab" section in CONVERGENCE.json.
+
+Usage:
+  UNET_ZOO_PLATFORM=cpu python scripts/quality_ab.py \
+      [--models unet,nested_unet,u2netp] [--epochs 10] [--size 96] \
+      [--train 64 --valid 16] [--batch 4] [--data-dir /tmp/qab_ds]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference"
+
+
+def ensure_dataset(data_dir: str, size: int, n_train: int, n_valid: int,
+                   seed: int) -> None:
+    if os.path.isdir(os.path.join(data_dir, "train", "images")):
+        return
+    subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts",
+                                      "make_shapes_dataset.py"),
+         "--out", data_dir, "--size", str(size), "--train", str(n_train),
+         "--valid", str(n_valid), "--test", "4", "--seed", str(seed)],
+        check=True)
+
+
+def run_reference(models, data_dir, size, epochs, batch, lr, run_dir):
+    """Train each model with the reference's train_model (torch CPU)."""
+    import torch
+    from torch.utils.data import DataLoader, Dataset
+
+    sys.path.insert(0, os.path.join(ROOT, "tests"))
+    import parity_utils  # installs nothing at import
+
+    parity_utils._install_timm_stub()
+    parity_utils._install_torchvision_stub()
+    sys.path.insert(0, REF)
+
+    from PIL import Image
+
+    class PairDataset(Dataset):
+        """BoneDataset per-sample semantics (ref data/datasets.py:40-59)
+        at a configurable resize (the reference hard-codes 512, Q6)."""
+
+        MEAN = torch.tensor([0.485, 0.456, 0.406]).view(3, 1, 1)
+        STD = torch.tensor([0.229, 0.224, 0.225]).view(3, 1, 1)
+
+        def __init__(self, root, split):
+            idir = os.path.join(root, split, "images")
+            mdir = os.path.join(root, split, "masks")
+            self.images = sorted(
+                os.path.join(idir, f) for f in os.listdir(idir))
+            self.masks = sorted(
+                os.path.join(mdir, f) for f in os.listdir(mdir))
+
+        def __getitem__(self, i):
+            import numpy as np
+
+            img = Image.open(self.images[i]).convert("RGB").resize(
+                (size, size), Image.BILINEAR)
+            mask = Image.open(self.masks[i]).convert("L").resize(
+                (size, size), Image.BILINEAR)
+            t = torch.from_numpy(
+                np.asarray(img, dtype="float32").transpose(2, 0, 1) / 255.0)
+            t = (t - self.MEAN) / self.STD
+            m = torch.from_numpy(
+                np.asarray(mask, dtype="float32")[None] / 255.0)
+            return t, (m > 0.5).float(), self.images[i]
+
+        def __len__(self):
+            return len(self.images)
+
+    from unet_zoo.config import Config as RefConfig
+    from unet_zoo.models import create_model as ref_create_model
+    from unet_zoo.utils.logger import Logger as RefLogger
+    from unet_zoo.utils.multi_gpu import MultiGPUManager
+    from unet_zoo.utils.training_loop import train_model as ref_train_model
+
+    cfg = RefConfig({
+        "general": {"project_name": "qab_ref", "working_dir": run_dir},
+        "data": {"dataset_dir": data_dir, "num_workers": 0,
+                 "image_size": size},
+        "training": {"epochs": epochs, "batch_size": batch,
+                     "learning_rate": lr, "early_stopping_patience": 50,
+                     "lr_scheduler_patience": 8,
+                     "lr_scheduler_factor": 0.2, "min_lr": 1e-7,
+                     "num_classes": 1},
+        "gpu": {"use_multi_gpu": False, "gpu_ids": [],
+                "single_gpu_id": None},
+    })
+    gpu_manager = MultiGPUManager(cfg)
+
+    torch.manual_seed(0)
+    g = torch.Generator()
+    g.manual_seed(0)
+    train_loader = DataLoader(PairDataset(data_dir, "train"),
+                              batch_size=batch, shuffle=True, generator=g,
+                              drop_last=True)
+    val_loader = DataLoader(PairDataset(data_dir, "valid"),
+                            batch_size=batch, shuffle=False)
+
+    results = {}
+    for name in models:
+        torch.manual_seed(0)
+        model = ref_create_model(name)
+        model = gpu_manager.setup_model_for_gpu(model)
+        optimizer = torch.optim.AdamW(model.parameters(), lr=lr,
+                                      weight_decay=1e-5)
+        criterion = torch.nn.BCEWithLogitsLoss()
+        logger = RefLogger(os.path.join(run_dir, f"ref_{name}.log"))
+        ckpt = os.path.join(run_dir, f"ref_{name}")
+        _, _, _, val_dcs, _ = ref_train_model(
+            model, train_loader, val_loader, optimizer, criterion, cfg,
+            name, ckpt + "_best.pth", ckpt + "_last.pth", logger,
+            gpu_manager)
+        logger.close()
+        results[name] = [round(float(v), 4) for v in val_dcs]
+        print(f"[reference] {name}: {results[name]}", flush=True)
+    return results
+
+
+def run_repo(models, data_dir, size, epochs, batch, lr, run_dir):
+    """Train through scripts/train.py (the production path), parse the
+    per-epoch val Dice from the training logs."""
+    cfg = f"""
+general:
+  project_name: qab_repo
+  working_dir: "{run_dir}"
+data:
+  dataset_dir: "{data_dir}"
+  num_workers: 0
+  image_size: {size}
+training:
+  epochs: {epochs}
+  batch_size: {batch}
+  learning_rate: {lr}
+  early_stopping_patience: 50
+  lr_scheduler_patience: 8
+  lr_scheduler_factor: 0.2
+  min_lr: 1e-7
+  num_classes: 1
+gpu:
+  use_multi_gpu: false
+models:
+  names: [{", ".join(models)}]
+  params: {{}}
+"""
+    cfg_path = os.path.join(run_dir, "repo_cfg.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(cfg)
+    env = dict(os.environ)
+    env.setdefault("UNET_ZOO_PLATFORM", "cpu")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts", "train.py"),
+         "--config", cfg_path],
+        capture_output=True, text=True, env=env, cwd=ROOT)
+    if proc.returncode != 0:
+        raise RuntimeError(f"repo training failed:\n{proc.stderr[-3000:]}")
+
+    results = {}
+    run_dirs = [d for d in os.listdir(run_dir)
+                if d.startswith("overall_runs_")]
+    base = os.path.join(run_dir, sorted(run_dirs)[-1])
+    for name in models:
+        log_dir = os.path.join(base, name, "logs")
+        text = "".join(
+            open(os.path.join(log_dir, f)).read()
+            for f in os.listdir(log_dir))
+        dcs = [float(v) for v in re.findall(
+            r"Val DICE:\s+([0-9.]+)", text)]
+        results[name] = [round(v, 4) for v in dcs]
+        print(f"[repo]      {name}: {results[name]}", flush=True)
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--models", default="unet,nested_unet,u2netp")
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--size", type=int, default=96)
+    ap.add_argument("--train", type=int, default=64)
+    ap.add_argument("--valid", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--data-dir", default="/tmp/qab_ds")
+    ap.add_argument("--run-dir", default="/tmp/qab_runs")
+    ap.add_argument("--out", default=os.path.join(ROOT, "QUALITY_AB.json"))
+    ap.add_argument("--skip-reference", action="store_true")
+    ap.add_argument("--skip-repo", action="store_true")
+    args = ap.parse_args()
+
+    models = [m.strip() for m in args.models.split(",") if m.strip()]
+    os.makedirs(args.run_dir, exist_ok=True)
+    ensure_dataset(args.data_dir, args.size, args.train, args.valid, 0)
+
+    record = {"config": {"size": args.size, "epochs": args.epochs,
+                         "batch": args.batch, "lr": args.lr,
+                         "train": args.train, "valid": args.valid,
+                         "dataset": "shapes (make_shapes_dataset.py)",
+                         "note": "both trainers on torch/JAX CPU; "
+                                 "identical pixels, independent inits"}}
+    if os.path.exists(args.out):
+        record = json.load(open(args.out))
+
+    if not args.skip_repo:
+        record["repo"] = {**record.get("repo", {}),
+                          **run_repo(models, args.data_dir, args.size,
+                                     args.epochs, args.batch, args.lr,
+                                     args.run_dir)}
+        json.dump(record, open(args.out, "w"), indent=1)
+    if not args.skip_reference:
+        record["reference"] = {**record.get("reference", {}),
+                               **run_reference(models, args.data_dir,
+                                               args.size, args.epochs,
+                                               args.batch, args.lr,
+                                               args.run_dir)}
+        json.dump(record, open(args.out, "w"), indent=1)
+
+    json.dump(record, open(args.out, "w"), indent=1)
+    print(f"wrote {args.out}")
+
+    for name in models:
+        ref = record.get("reference", {}).get(name)
+        rep = record.get("repo", {}).get(name)
+        if ref and rep:
+            print(f"{name}: reference best {max(ref):.4f} | "
+                  f"repo best {max(rep):.4f}")
+
+
+if __name__ == "__main__":
+    main()

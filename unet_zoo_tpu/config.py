@@ -69,8 +69,14 @@ class Config:
         self.NUM_DEVICES: Optional[int] = tpu.get("num_devices")
         self.COMPUTE_DTYPE: str = tpu.get("compute_dtype", "float32")
         # size of the mesh's 'model' axis for multi_gpu_strategy:
-        # tensor_parallel (the 'data' axis gets the remaining devices)
+        # tensor_parallel / expert / pipeline (the 'data' axis gets the
+        # remaining devices)
         self.MODEL_PARALLEL_SIZE: int = int(tpu.get("model_parallel_size", 1))
+        # multi_gpu_strategy: pipeline — microbatches streamed through the
+        # GPipe rotation (bubble fraction (S-1)/(M+S-1)); batch_size must
+        # divide by this
+        self.PIPELINE_MICROBATCHES: int = int(
+            tpu.get("pipeline_microbatches", 4))
 
         self.RUN_TIMESTAMP = d.get(
             "run_timestamp",

@@ -140,6 +140,24 @@ class ZooModel:
     def train_remat(self) -> bool:
         return self.spec.train_remat
 
+    def with_bridge_pipeline(self, mesh, num_microbatches: int = 4,
+                             batch_axis: Optional[str] = None) -> "ZooModel":
+        """Clone with the model's homogeneous layer stack GPipe-pipelined
+        over ``mesh``'s 'model' axis (currently: uctransnet's 4-layer
+        channel-transformer bridge). The returned model uses the same
+        variables/checkpoints; only execution placement changes
+        (YAML: gpu.multi_gpu_strategy = pipeline)."""
+        if not hasattr(self.module, "bridge_pipeline"):
+            raise ValueError(
+                f"model '{self.name}' has no pipelinable stage stack — "
+                "pipeline parallelism applies to uctransnet (its 4 "
+                "shape-identical CTransBlock bridge layers; DESIGN.md "
+                "records why encoder/decoder cuts don't pipeline in a "
+                "skip-connected UNet)")
+        module = self.module.clone(
+            bridge_pipeline=(mesh, num_microbatches, batch_axis))
+        return dataclasses.replace(self, module=module)
+
 
 def create_model(model_name: str, pretrained: bool = False, **kwargs) -> ZooModel:
     """Instantiate a zoo model by name (ref: models/__init__.py:78-238).

@@ -164,7 +164,18 @@ class CTransBlock(nn.Module):
 
 class ChannelTransformer(nn.Module):
     """Embeddings → N CTrans blocks → final LN → Reconstruct + residual
-    (ref :329-366)."""
+    (ref :329-366).
+
+    ``bridge_pipeline=(mesh, num_microbatches, batch_axis)`` routes the
+    ``num_layers`` CTrans blocks through the GPipe scan+ppermute rotation
+    over the mesh's ``model`` axis (``parallel/pipeline.py``) instead of
+    the sequential in-model loop — stage ``i``'s layer weights live on
+    'model'-row ``i`` and microbatches stream through the ring, fwd AND
+    bwd. Numerically identical to the sequential loop except that bridge
+    dropout masks are shared across microbatches (one mask per
+    stage/layer). ``batch_axis`` names the DP axis the token batch dim is
+    sharded over (None = replicated batch).
+    """
 
     channel_num: Sequence[int]
     patch_sizes: Sequence[int] = (32, 16, 8, 4)
@@ -173,6 +184,47 @@ class ChannelTransformer(nn.Module):
     expand_ratio: int = 4
     vis: bool = False
     dtype: Any = jnp.float32
+    bridge_pipeline: Optional[Any] = None
+
+    def _pipelined_layers(self, embs: List[jnp.ndarray], train: bool):
+        """The layer_0..layer_{L-1} stack via pipeline_spmd (GPipe)."""
+        from unet_zoo_tpu.parallel.pipeline import (
+            merge_microbatches,
+            pipeline_spmd,
+            split_microbatches,
+            stack_stage_params,
+        )
+
+        mesh, n_mb, batch_axis = self.bridge_pipeline
+        n_stages = mesh.shape["model"]
+        layer_params = [self.variables["params"][f"layer_{li}"]
+                        for li in range(self.num_layers)]
+        stage = {"params": stack_stage_params(layer_params, n_stages)}
+        use_dropout = train and self.has_rng("dropout")
+        if use_dropout:
+            stage["rng"] = jax.random.split(self.make_rng("dropout"),
+                                            n_stages)
+        # same ctor args as the sequential path (dropout rates are the
+        # CTransBlock defaults there too)
+        block = CTransBlock(tuple(self.channel_num), self.num_heads,
+                            self.expand_ratio, dtype=self.dtype)
+        n_local = self.num_layers // n_stages
+
+        def block_fn(stage_i, xs):
+            for j in range(n_local):
+                layer_p = jax.tree_util.tree_map(lambda a: a[j],
+                                                 stage_i["params"])
+                rngs = ({"dropout": jax.random.fold_in(stage_i["rng"], j)}
+                        if use_dropout else None)
+                outs, _ = block.apply({"params": layer_p}, list(xs),
+                                      train and use_dropout, rngs=rngs)
+                xs = tuple(outs)
+            return xs
+
+        mbs = split_microbatches(tuple(embs), n_mb)
+        out = pipeline_spmd(mesh, block_fn, stage, mbs,
+                            batch_axis=batch_axis)
+        return list(merge_microbatches(out))
 
     @nn.compact
     def __call__(self, feats: List[jnp.ndarray], train: bool = False):
@@ -183,12 +235,20 @@ class ChannelTransformer(nn.Module):
             for i, f in enumerate(feats)
         ]
         attn_weights = []
-        for li in range(self.num_layers):
-            embs, w = CTransBlock(self.channel_num, self.num_heads,
-                                  self.expand_ratio, vis=self.vis, dtype=dt,
-                                  name=f"layer_{li}")(embs, train)
+        if self.bridge_pipeline is not None and not self.is_initializing():
             if self.vis:
-                attn_weights.append(w)
+                raise ValueError(
+                    "vis=True (attention-weight capture) is not supported "
+                    "with the pipelined bridge")
+            embs = self._pipelined_layers(embs, train)
+        else:
+            for li in range(self.num_layers):
+                embs, w = CTransBlock(self.channel_num, self.num_heads,
+                                      self.expand_ratio, vis=self.vis,
+                                      dtype=dt,
+                                      name=f"layer_{li}")(embs, train)
+                if self.vis:
+                    attn_weights.append(w)
         embs = [nn.LayerNorm(epsilon=1e-6, dtype=dt,
                              name=f"encoder_norm{i + 1}")(e)
                 for i, e in enumerate(embs)]
@@ -248,6 +308,11 @@ class UCTransNet(nn.Module):
     expand_ratio: int = 4
     vis: bool = False
     dtype: Any = jnp.float32
+    # (mesh, num_microbatches, batch_axis|None): run the 4-layer channel-
+    # transformer bridge GPipe-pipelined over the mesh's 'model' axis
+    # (see ChannelTransformer.bridge_pipeline; YAML: gpu.multi_gpu_strategy
+    # = pipeline)
+    bridge_pipeline: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:
@@ -268,7 +333,7 @@ class UCTransNet(nn.Module):
         (x1r, x2r, x3r, x4r), attn_weights = ChannelTransformer(
             (c, c * 2, c * 4, c * 8), self.patch_sizes, self.num_layers,
             self.num_heads, self.expand_ratio, vis=self.vis, dtype=dt,
-            name="mtc",
+            bridge_pipeline=self.bridge_pipeline, name="mtc",
         )([x1, x2, x3, x4], train)
 
         def up_block(h, skip, out_feats, name):

@@ -24,6 +24,11 @@ from unet_zoo_tpu.parallel.spatial import (
     spatial_conv2d,
     spatial_sharding,
 )
+from unet_zoo_tpu.parallel.spatial_models import SPATIAL_TOPOLOGIES
+from unet_zoo_tpu.parallel.spatial_unet import (
+    make_spatial_eval_step,
+    make_spatial_train_step,
+)
 from unet_zoo_tpu.parallel.multihost import (
     fully_replicate_to_host,
     global_mesh,
@@ -63,4 +68,7 @@ __all__ = [
     "make_spatial_fn",
     "spatial_conv2d",
     "spatial_sharding",
+    "SPATIAL_TOPOLOGIES",
+    "make_spatial_eval_step",
+    "make_spatial_train_step",
 ]

@@ -56,7 +56,8 @@ def stack_stage_params(layer_params: Sequence[Any], n_stages: int) -> Any:
 
 def pipeline_spmd(mesh: Mesh, block_fn: Callable[[Any, Any], Any],
                   stage_params: Any, microbatches: Any,
-                  axis: str = "model") -> Any:
+                  axis: str = "model",
+                  batch_axis: str | None = None) -> Any:
     """Run ``microbatches`` through ``S`` pipeline stages on ``axis``.
 
     ``stage_params``: pytree with leading dim ``S`` (stage-major; see
@@ -68,6 +69,12 @@ def pipeline_spmd(mesh: Mesh, block_fn: Callable[[Any, Any], Any],
     ``microbatches``: pytree with leading dim ``M`` (microbatch-major,
     replicated). Returns the same pytree with microbatch ``m`` holding
     ``stage_{S-1}(... stage_0(x_m))``, replicated over ``axis``.
+
+    ``batch_axis``: when the mesh also has a data-parallel axis and the
+    microbatches arrive with their *batch* dim (leaf dim 1, ``[M, b,
+    ...]``) sharded over it, name it here — the pipeline then runs
+    per-DP-row (each 'data' row streams its own batch slice through the
+    same stage weights) instead of all-gathering the batch.
     """
     S = mesh.shape[axis]
     mb_leaves = jax.tree_util.tree_leaves(microbatches)
@@ -85,13 +92,17 @@ def pipeline_spmd(mesh: Mesh, block_fn: Callable[[Any, Any], Any],
         is_first = stage == 0
         is_last = stage == S - 1
 
-        # the carry/outbuf become stage-varying after one tick: mark the
-        # (replicated-zeros) initial values as varying over the axis
-        varying = lambda a: jax.lax.pcast(a, (axis,), to="varying")
+        # the carry/outbuf become stage-varying after one tick (and
+        # batch-axis-varying when the batch dim is DP-sharded): mark the
+        # (replicated-zeros) initial values as varying over those axes
+        var_axes = (axis,) + ((batch_axis,) if batch_axis else ())
+        varying = lambda a: jax.lax.pcast(a, var_axes, to="varying")
+        # fresh jnp.zeros (not zeros_like) so the values start invariant
+        # and the pcast over BOTH axes is valid
         carry0 = jax.tree_util.tree_map(
             lambda a: varying(jnp.zeros(a.shape[1:], a.dtype)), mbs)
         outbuf0 = jax.tree_util.tree_map(
-            lambda a: varying(jnp.zeros_like(a)), mbs)
+            lambda a: varying(jnp.zeros(a.shape, a.dtype)), mbs)
         perm = [(i, (i + 1) % S) for i in range(S)]
 
         def tick(state, t):
@@ -130,7 +141,12 @@ def pipeline_spmd(mesh: Mesh, block_fn: Callable[[Any, Any], Any],
 
     stage_spec = jax.tree_util.tree_map(
         lambda a: P(axis, *([None] * (a.ndim - 1))), stage_params)
-    mb_spec = jax.tree_util.tree_map(lambda a: P(), microbatches)
+    if batch_axis is None:
+        mb_spec = jax.tree_util.tree_map(lambda a: P(), microbatches)
+    else:
+        mb_spec = jax.tree_util.tree_map(
+            lambda a: P(None, batch_axis, *([None] * (a.ndim - 2))),
+            microbatches)
     return shard_map(shard_fn, mesh=mesh,
                      in_specs=(stage_spec, mb_spec),
                      out_specs=mb_spec)(stage_params, microbatches)

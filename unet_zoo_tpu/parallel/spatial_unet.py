@@ -32,6 +32,55 @@ from unet_zoo_tpu.parallel.spatial import (
 )
 
 
+# Topologies the halo-exchange fwd/train steps cover (YAML:
+# gpu.multi_gpu_strategy = spatial): name -> H divisibility requirement
+# per shard. unet's forward lives here (round-3 original);
+# attention_unet/resunet in spatial_models.py share the same block
+# vocabulary.
+from unet_zoo_tpu.parallel.spatial_models import (  # noqa: E402
+    SPATIAL_TOPOLOGIES,
+    bn_eval,
+    get_local_forward,
+    make_bn_train,
+)
+
+
+def unet_local_unified(variables: Dict[str, Any], x: jnp.ndarray,
+                       bn, axis_name: str = "data"):
+    """unet forward in the unified (variables, x, bn, axis) ->
+    (logits, new_stats) contract of spatial_models.get_local_forward."""
+    from unet_zoo_tpu.parallel.spatial_models import (
+        _conv1x1,
+        double_conv,
+        transposed_up,
+    )
+
+    p, s = variables["params"], variables["batch_stats"]
+    new_stats: Dict[str, Any] = {}
+    skips = []
+    for i in range(4):
+        x, ns = double_conv(x, p[f"DownSample_{i}"]["DoubleConv_0"],
+                            s[f"DownSample_{i}"]["DoubleConv_0"], bn,
+                            axis_name)
+        new_stats[f"DownSample_{i}"] = {"DoubleConv_0": ns}
+        skips.append(x)
+        x = spatial_max_pool2(x)
+
+    x, new_stats["DoubleConv_0"] = double_conv(
+        x, p["DoubleConv_0"], s["DoubleConv_0"], bn, axis_name)
+
+    for i in range(4):
+        up = p[f"UpSampleUNet_{i}"]
+        x = transposed_up(x, up["TransposedUp_0"])
+        x = jnp.concatenate([x, skips[3 - i]], axis=-1)
+        x, ns = double_conv(x, up["DoubleConv_0"],
+                            s[f"UpSampleUNet_{i}"]["DoubleConv_0"], bn,
+                            axis_name)
+        new_stats[f"UpSampleUNet_{i}"] = {"DoubleConv_0": ns}
+
+    return _conv1x1(x, p["OutConv_0"]["Conv_0"]), new_stats
+
+
 def _bn_eval(x, bn_params, bn_stats):
     # flax BatchNorm eval-mode order, replicated exactly:
     # y = (x - mean) * (scale * rsqrt(var + eps)) + bias
@@ -193,8 +242,10 @@ def unet_forward_local_train(variables: Dict[str, Any], x: jnp.ndarray,
     return jnp.einsum("bhwc,cf->bhwf", x, w) + oc["bias"], new_stats
 
 
-def make_spatial_train_step(mesh: Mesh, axis_name: str = "data"):
-    """Full spatially-sharded unet TRAIN step.
+def make_spatial_train_step(mesh: Mesh, axis_name: str = "data",
+                            model_name: str = "unet"):
+    """Full spatially-sharded TRAIN step for a supported topology
+    (SPATIAL_TOPOLOGIES; default unet).
 
     ``step(state, images, masks) -> (state, metrics)`` with images/masks
     H-sharded over the mesh (``P(None, axis, None, None)``) and the
@@ -210,13 +261,16 @@ def make_spatial_train_step(mesh: Mesh, axis_name: str = "data"):
 
     spec = P(None, axis_name, None, None)
 
+    fwd = get_local_forward(model_name)
+    bn_train = make_bn_train(axis_name)
+
     def per_device(state, images, masks):
         images, masks = prepare_images(images), prepare_masks(masks)
 
         def loss_fn(params):
-            logits, new_stats = unet_forward_local_train(
+            logits, new_stats = fwd(
                 {"params": params, "batch_stats": state.batch_stats},
-                images, axis_name)
+                images, bn_train, axis_name)
             return bce_with_logits(logits, masks), (logits, new_stats)
 
         (loss, (logits, new_stats)), grads = jax.value_and_grad(
@@ -240,5 +294,42 @@ def make_spatial_train_step(mesh: Mesh, axis_name: str = "data"):
 
     mapped = shard_map(per_device, mesh=mesh,
                        in_specs=(P(), spec, spec), out_specs=(P(), P()),
+                       check_vma=False)
+    return jax.jit(mapped)
+
+
+def make_spatial_eval_step(mesh: Mesh, axis_name: str = "data",
+                           model_name: str = "unet"):
+    """Spatially-sharded unet EVAL step with the standard eval-step
+    contract ``(variables, images, masks) -> {'loss','dice','main'}``
+    (train/steps.py:make_eval_step), so `validate_one_epoch` and the
+    evaluation scripts drive it unchanged. Images/masks H-sharded,
+    variables replicated; loss/Dice reduced globally."""
+    from jax import shard_map
+
+    from unet_zoo_tpu.data.datasets import prepare_images, prepare_masks
+    from unet_zoo_tpu.train.losses import bce_with_logits
+
+    spec = P(None, axis_name, None, None)
+
+    fwd = get_local_forward(model_name)
+
+    def per_device(variables, images, masks):
+        images, masks = prepare_images(images), prepare_masks(masks)
+        logits, _ = fwd(variables, images, bn_eval, axis_name)
+        loss = jax.lax.pmean(bce_with_logits(logits, masks), axis_name)
+        pred = (jax.nn.sigmoid(logits.astype(jnp.float32)) > 0.5
+                ).astype(jnp.float32)
+        tgt = masks.astype(jnp.float32)
+        inter, psum_pred, psum_tgt = jax.lax.psum(
+            (jnp.sum(pred * tgt), jnp.sum(pred), jnp.sum(tgt)), axis_name)
+        union = psum_pred + psum_tgt
+        dice = jnp.where(union == 0, jnp.float32(1.0),
+                         (2.0 * inter + 1e-7) / (union + 1e-7))
+        return {"loss": loss, "dice": dice, "main": logits}
+
+    mapped = shard_map(per_device, mesh=mesh,
+                       in_specs=(P(), spec, spec),
+                       out_specs={"loss": P(), "dice": P(), "main": spec},
                        check_vma=False)
     return jax.jit(mapped)

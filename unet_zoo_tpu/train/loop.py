@@ -203,11 +203,14 @@ def train_model(
         state = set_lr(state, dice_scheduler.lr)
 
     sharding = None
+    spatial = False
     if mesh is not None:
         # gpu.multi_gpu_strategy (ref config.py:30, parsed but unused by
         # the reference beyond DataParallel) selects the parameter
-        # placement; the batch is sharded over the mesh's 'data' axis in
-        # every mode and GSPMD inserts the collectives.
+        # placement; except under `spatial`, the batch is sharded over the
+        # mesh's 'data' axis and GSPMD inserts the collectives. All six
+        # axes are YAML-reachable: DataParallel | fsdp | tensor_parallel |
+        # expert | pipeline | spatial.
         strategy = str(getattr(config, "MULTI_GPU_STRATEGY",
                                "DataParallel")).lower()
         if strategy in ("fsdp", "zero3"):
@@ -218,13 +221,73 @@ def train_model(
             from unet_zoo_tpu.parallel import shard_state_tp
 
             state = shard_state_tp(mesh, state)
+        elif strategy in ("expert", "expert_parallel", "ep", "moe"):
+            # Switch-MoE expert weights sharded over the 'model' axis
+            # (GShard placement), DP over 'data' — for the MoE members
+            # (unext_moe); non-MoE params are simply replicated, so a
+            # mixed zoo list still runs.
+            from unet_zoo_tpu.parallel import shard_state_ep
+
+            if mesh.shape.get("model", 1) < 2:
+                raise ValueError(
+                    "multi_gpu_strategy: expert needs tpu.model_parallel_"
+                    "size >= 2 (the mesh axis the experts shard over)")
+            state = shard_state_ep(mesh, state)
+        elif strategy in ("pipeline", "pp", "gpipe"):
+            n_stages = mesh.shape.get("model", 1)
+            n_mb = int(getattr(config, "PIPELINE_MICROBATCHES", 4))
+            if n_stages < 2:
+                raise ValueError(
+                    "multi_gpu_strategy: pipeline needs tpu.model_"
+                    "parallel_size >= 2 (one bridge stage per 'model'-"
+                    "axis device)")
+            if config.BATCH_SIZE % n_mb or (
+                    config.BATCH_SIZE // n_mb) % mesh.shape["data"]:
+                raise ValueError(
+                    f"pipeline: batch_size {config.BATCH_SIZE} must split "
+                    f"into {n_mb} microbatches (tpu.pipeline_microbatches)"
+                    f" divisible by the {mesh.shape['data']}-way 'data' "
+                    "axis")
+            # rebuilds the step functions below around the pipelined
+            # module; variables/checkpoints are unchanged
+            model = model.with_bridge_pipeline(
+                mesh, num_microbatches=n_mb, batch_axis="data")
+            state = replicate_state(mesh, state)
+        elif strategy in ("spatial", "spatial_parallel", "sp"):
+            from unet_zoo_tpu.parallel.spatial_unet import SPATIAL_TOPOLOGIES
+
+            spatial = True
+            n_sh = mesh.shape["data"]
+            if model.name not in SPATIAL_TOPOLOGIES:
+                raise ValueError(
+                    f"multi_gpu_strategy: spatial supports "
+                    f"{sorted(SPATIAL_TOPOLOGIES)} (halo-exchange "
+                    f"topologies; parallel/spatial_models.py), not "
+                    f"'{model.name}'")
+            div = SPATIAL_TOPOLOGIES[model.name] * n_sh
+            if config.IMAGE_SIZE % div:
+                raise ValueError(
+                    f"spatial: image_size {config.IMAGE_SIZE} must be "
+                    f"divisible by {div} "
+                    f"({SPATIAL_TOPOLOGIES[model.name]} x {n_sh} H shards)")
+            if getattr(config, "LOSS", "bce") != "bce":
+                raise ValueError(
+                    "spatial training uses the BCE-with-logits criterion "
+                    "(training.loss: bce)")
+            state = replicate_state(mesh, state)
         elif strategy in ("dataparallel", "data_parallel", "dp", "ddp"):
             state = replicate_state(mesh, state)
         else:
             raise ValueError(
                 f"Unknown multi_gpu_strategy {strategy!r}: expected "
-                "DataParallel, fsdp, or tensor_parallel")
-        sharding = batch_sharding(mesh)
+                "DataParallel, fsdp, tensor_parallel, expert, pipeline, "
+                "or spatial")
+        if spatial:
+            from unet_zoo_tpu.parallel.spatial import spatial_sharding
+
+            sharding = spatial_sharding(mesh)  # H-dim sharded, batch whole
+        else:
+            sharding = batch_sharding(mesh)
         logger.log_both(
             f"  Parallelism: {strategy} over mesh "
             f"{dict(zip(mesh.axis_names, mesh.devices.shape))}")
@@ -239,13 +302,30 @@ def train_model(
     if getattr(config, "LOSS", "bce") != "bce":
         logger.log_both(
             f"  Loss: {config.LOSS} {getattr(config, 'LOSS_KWARGS', {}) or ''}")
-    train_step = make_train_step(
-        model, criterion=criterion,
-        augment=(getattr(config, "AUGMENT", False)
-                 and getattr(config, "AUGMENT_ON_DEVICE", False)),
-        remat=model.train_remat,
-        accum_steps=getattr(config, "GRAD_ACCUM_STEPS", 1))
-    eval_step = make_eval_step(model, criterion=criterion)
+    if spatial:
+        # dedicated halo-exchange steps (parallel/spatial_unet.py):
+        # same (state, imgs, masks)/(variables, imgs, masks) contracts,
+        # so the epoch drivers run unchanged
+        from unet_zoo_tpu.parallel.spatial_unet import (
+            make_spatial_eval_step,
+            make_spatial_train_step,
+        )
+
+        if (getattr(config, "AUGMENT", False)
+                and getattr(config, "AUGMENT_ON_DEVICE", False)):
+            raise ValueError(
+                "spatial training does not support augment_on_device "
+                "(flips would cross the H shards); use host-side augment")
+        train_step = make_spatial_train_step(mesh, model_name=model.name)
+        eval_step = make_spatial_eval_step(mesh, model_name=model.name)
+    else:
+        train_step = make_train_step(
+            model, criterion=criterion,
+            augment=(getattr(config, "AUGMENT", False)
+                     and getattr(config, "AUGMENT_ON_DEVICE", False)),
+            remat=model.train_remat,
+            accum_steps=getattr(config, "GRAD_ACCUM_STEPS", 1))
+        eval_step = make_eval_step(model, criterion=criterion)
 
     train_losses: List[float] = []
     train_dcs: List[float] = []

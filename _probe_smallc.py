@@ -31,23 +31,45 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def timed(name, fn, args, steps, flops):
+def timed(name, fn, gen, steps, flops):
+    """gen(seed) -> args tuple, generated ON DEVICE. The timed call uses
+    a FRESH seed (the relay caches (program, args) -> result — reusing
+    the warm-up args returns instantly and times only the HTTP
+    roundtrip; the first version of this probe reported 494 "TF/s",
+    2.5x physics, exactly that way). The scan carry feeds the previous
+    output back into the input so the steps are serially dependent and
+    data-distinct (bf16-visible perturbation, not * 1e-30 which rounds
+    away and invites CSE)."""
+
+    gen = jax.jit(gen)
+
     @jax.jit
     def scan_fn(*a):
         def body(c, _):
-            y = fn(*((a[0] + c.astype(a[0].dtype) * 1e-30,) + a[1:]))
-            return y.ravel()[0].astype(jnp.float32), None
+            # NONLINEAR perturbation: a scalar multiply/add distributes
+            # out of the conv (conv is linear), letting XLA hoist the
+            # conv as loop-invariant — the first fixed version measured
+            # 578 "TF/s" (3x physics) exactly that way. relu breaks
+            # distributivity; the full-output sum prevents slice
+            # narrowing of the result.
+            x0 = jax.nn.relu(a[0] + (c * 1e-6).astype(a[0].dtype))
+            y = fn(*((x0,) + a[1:]))
+            return jnp.sum(y.astype(jnp.float32)) * 1e-12, None
 
         s, _ = lax.scan(body, jnp.float32(0.0), None, length=steps)
         return s + jnp.sum(fn(*a).astype(jnp.float32))
 
-    float(scan_fn(*args))  # compile + warm
+    a = gen(1)
+    float(jnp.sum(a[0].astype(jnp.float32)))
+    float(scan_fn(*a))  # compile + warm
+    a = gen(101)
+    float(jnp.sum(a[0].astype(jnp.float32)))
     t0 = time.perf_counter()
-    float(scan_fn(*args))
+    float(scan_fn(*a))
     dt = time.perf_counter() - t0
     per = dt / (steps + 1)
     print(f"{name}: {per * 1e3:.3f} ms/op -> {flops / per / 1e12:.2f} "
-          f"TF/s effective")
+          f"TF/s effective  ({dt * 1e3:.1f} ms total)")
     return per
 
 
@@ -59,12 +81,15 @@ def main():
     ap.add_argument("--steps", type=int, default=100)
     args = ap.parse_args()
     B, H, C, S = args.b, args.h, args.c, args.steps
-    key = jax.random.PRNGKey(0)
 
-    x = jax.jit(lambda: jax.random.normal(key, (B, H, H, C),
-                                          jnp.bfloat16))()
-    w = jax.jit(lambda: jax.random.normal(key, (3, 3, C, C),
-                                          jnp.bfloat16) * 0.1)()
+    def gen_xw(c_dim):
+        def gen(seed):
+            kx, kw = jax.random.split(jax.random.PRNGKey(seed))
+            return (jax.random.normal(kx, (B, H, H, c_dim), jnp.bfloat16),
+                    jax.random.normal(kw, (3, 3, c_dim, c_dim),
+                                      jnp.bfloat16) * 0.1)
+        return gen
+
     conv_flops = 2 * B * H * H * 9 * C * C
 
     # --- A: XLA conv as-is
@@ -73,12 +98,14 @@ def main():
             x, w, (1, 1), ((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
-    ta = timed("A xla conv C=%d    " % C, conv, (x, w), S, conv_flops)
+    ta = timed("A xla conv C=%d    " % C, conv, gen_xw(C), S, conv_flops)
 
     # --- B: tap-batched GEMM + shifted adds. One GEMM [B*H*H, C] @
     # [C, 9C] producing all 9 tap products, then the spatial realign as
     # padded adds (VPU, memory-speed). Exact same math as A.
-    w_tap = jnp.transpose(w, (2, 0, 1, 3)).reshape(C, 9 * C)
+    def gen_tap(seed):
+        x, w = gen_xw(C)(seed)
+        return x, jnp.transpose(w, (2, 0, 1, 3)).reshape(C, 9 * C)
 
     def tapbatch(x, wt):
         m = x.reshape(B * H * H, C)
@@ -94,11 +121,12 @@ def main():
                 out = out + t[:, dy: dy + H, dx: dx + H, :]
         return out.astype(jnp.bfloat16)
 
-    tb = timed("B tap-batched GEMM ", tapbatch, (x, w_tap), S, conv_flops)
+    tb = timed("B tap-batched GEMM ", tapbatch, gen_tap, S, conv_flops)
 
-    # sanity: B == A
+    # sanity: B == A (on one shared sample)
+    x, w = jax.jit(gen_xw(C))(7)
     ya = conv(x, w)
-    yb = tapbatch(x, w_tap)
+    yb = tapbatch(x, jnp.transpose(w, (2, 0, 1, 3)).reshape(C, 9 * C))
     err = float(jnp.max(jnp.abs(ya.astype(jnp.float32)
                                 - yb.astype(jnp.float32))))
     print(f"  tap-batched exactness vs conv: max |diff| = {err:.2e}")
@@ -106,11 +134,7 @@ def main():
     # --- C: 8 independent C-channel convs fused as ONE dense 8C conv
     # (the channel-concat batching idea): full lanes, 8x the FLOPs.
     G = 128 // C if C < 128 else 1
-    xg = jax.jit(lambda: jax.random.normal(key, (B, H, H, G * C),
-                                           jnp.bfloat16))()
-    wg = jax.jit(lambda: jax.random.normal(key, (3, 3, G * C, G * C),
-                                           jnp.bfloat16) * 0.1)()
-    tc = timed(f"C dense G={G} concat ", conv, (xg, wg), S,
+    tc = timed(f"C dense G={G} concat ", conv, gen_xw(G * C), S,
                2 * B * H * H * 9 * (G * C) ** 2)
     print(f"  per-sibling cost: {tc / G * 1e3:.3f} ms vs A "
           f"{ta * 1e3:.3f} ms -> {'WIN' if tc / G < ta else 'LOSS'} "

@@ -11,6 +11,7 @@ output protocol ``{'main': logits, 'side*': aux_logits...}``.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Callable, Dict, List, Mapping, Optional
 
 import flax.linen as nn
@@ -52,6 +53,13 @@ class ModelSpec:
     # file-based pretrained-weight initialization (zero-egress replacement
     # for the reference's torchvision downloads, ref raunet.py:84-93).
     pretrained_loader: Optional[Callable[[str], Callable[[Any], Any]]] = None
+    # The reference's RAUNet ctor defaults pretrained=True and downloads
+    # its encoder regardless of create_model's flag (ref raunet.py:77,
+    # models/__init__.py:111-114,230-233) — entries with this set load
+    # their pretrained encoder when create_model's `pretrained` is left
+    # unspecified. (Deviation from the quirk: an explicit
+    # pretrained=False here actually disables it; the reference cannot.)
+    pretrained_by_default: bool = False
     # Default jax.checkpoint (remat) for this model's train step: set for
     # members whose backward is activation-traffic-bound (measured wins
     # only — see BENCH_NOTES). Callers can still override per run.
@@ -159,13 +167,19 @@ class ZooModel:
         return dataclasses.replace(self, module=module)
 
 
-def create_model(model_name: str, pretrained: bool = False, **kwargs) -> ZooModel:
+def create_model(model_name: str, pretrained: Optional[bool] = None,
+                 **kwargs) -> ZooModel:
     """Instantiate a zoo model by name (ref: models/__init__.py:78-238).
 
     Same call contract as the reference: ``in_channels`` (3), ``num_classes``
     (1), ``image_size`` (required by uctransnet/swin_unet_v2), ``depth`` (5),
     remaining kwargs forwarded to the model with user values winning over
     defaults. Adds ``dtype`` for bf16 compute.
+
+    ``pretrained=None`` (unspecified) resolves to the entry's default —
+    False everywhere except raunet, whose reference ctor loads its
+    ImageNet encoder by default (ref raunet.py:77); see
+    ``ModelSpec.pretrained_by_default`` for the offline resolution chain.
     """
     key = model_name.lower()
     if key not in _REGISTRY:
@@ -173,6 +187,8 @@ def create_model(model_name: str, pretrained: bool = False, **kwargs) -> ZooMode
             f"Unknown model: '{model_name}'. Available models: {list_models()}"
         )
     spec = _REGISTRY[key]
+    if pretrained is None:
+        pretrained = spec.pretrained_by_default
 
     in_channels = kwargs.pop("in_channels", 3)
     num_classes = kwargs.pop("num_classes", 1)
@@ -199,13 +215,11 @@ def create_model(model_name: str, pretrained: bool = False, **kwargs) -> ZooMode
 
     init_overlay = None
     if pretrained:
-        if spec.pretrained_loader is not None and weights_path is not None:
+        if spec.pretrained_loader is not None:
+            # loader resolves its own fallback chain (explicit path →
+            # $UNET_ZOO_RESNET34 → vendored pretrained encoder → None
+            # with a warning) — see _raunet_pretrained_loader
             init_overlay = spec.pretrained_loader(weights_path)
-        elif spec.pretrained_loader is not None:
-            print(f"Warning: '{model_name}' supports pretrained weights only "
-                  "from a local file in this zero-egress environment — pass "
-                  "weights_path=<path to the torchvision .pth>. Using random "
-                  "init.")
         else:
             print(f"Warning: Pre-trained weights for {model_name} are not "
                   "yet implemented.")
@@ -382,10 +396,40 @@ def _build_wranet(in_channels, num_classes, image_size, depth, dtype, **kw):
     )
 
 
-def _raunet_pretrained_loader(weights_path: str):
-    """Build an init overlay that merges a torchvision resnet34 ``.pth``
-    (ImageNet weights) into RAUNet's encoder subtree — the file-based
-    equivalent of the reference's download (ref raunet.py:77,84-93)."""
+VENDORED_RAUNET_ENCODER = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", "pretrained",
+    "raunet_encoder_synthetic.msgpack")
+
+
+def _raunet_pretrained_loader(weights_path: Optional[str] = None):
+    """Init overlay for RAUNet's pretrained encoder (the reference
+    defaults to ``pretrained=True`` and downloads torchvision resnet34,
+    ref raunet.py:77,84-93). Offline resolution order:
+
+    1. ``weights_path`` (a torchvision resnet34 ``.pth`` — exact
+       reference behavior via utils/convert.convert_resnet34_torchvision)
+    2. ``$UNET_ZOO_RESNET34`` pointing at such a ``.pth``
+    3. the vendored synthetic-pretrained encoder
+       (scripts/pretrain_encoder.py) — a trained-from-scratch stand-in
+       so the default config never silently trains from random init
+
+    Returns None (random init, with a warning) only if none exist.
+    """
+    if weights_path is None:
+        weights_path = os.environ.get("UNET_ZOO_RESNET34") or None
+        if weights_path and not os.path.exists(weights_path):
+            print(f"Warning: $UNET_ZOO_RESNET34={weights_path} does not "
+                  "exist; ignoring.")
+            weights_path = None
+    if weights_path is None:
+        if os.path.exists(VENDORED_RAUNET_ENCODER):
+            return _raunet_vendored_loader(VENDORED_RAUNET_ENCODER)
+        print("Warning: 'raunet' pretrained=True found no weights — pass "
+              "weights_path=<torchvision resnet34 .pth>, set "
+              "$UNET_ZOO_RESNET34, or generate the vendored encoder "
+              "(python scripts/pretrain_encoder.py). Using random init.")
+        return None
+
     import torch
 
     from unet_zoo_tpu.utils.convert import convert_resnet34_torchvision
@@ -396,6 +440,31 @@ def _raunet_pretrained_loader(weights_path: str):
     sd = {k[7:] if k.startswith("module.") else k: v for k, v in sd.items()}
     enc_p, enc_s = convert_resnet34_torchvision(sd)
 
+    return _encoder_overlay(enc_p, enc_s)
+
+
+_VENDORED_CACHE: Dict[str, Any] = {}
+
+
+def _raunet_vendored_loader(msgpack_path: str):
+    """Overlay from the vendored flax-serialized encoder
+    (scripts/pretrain_encoder.py's output: f16 params + f32 stats)."""
+    from flax import serialization
+
+    enc = _VENDORED_CACHE.get(msgpack_path)
+    if enc is None:
+        with open(msgpack_path, "rb") as f:
+            enc = serialization.msgpack_restore(f.read())
+        _VENDORED_CACHE[msgpack_path] = enc
+    print("raunet: using the vendored synthetic-pretrained encoder "
+          f"({os.path.basename(msgpack_path)}; task="
+          f"{enc.get('meta', {}).get('task', '?')}). For the reference's "
+          "exact ImageNet init, pass weights_path=<torchvision resnet34 "
+          ".pth> or set $UNET_ZOO_RESNET34.")
+    return _encoder_overlay(enc["params"], enc["batch_stats"])
+
+
+def _encoder_overlay(enc_p, enc_s):
     def overlay(variables):
         def merge(new, old):
             new = jnp.asarray(new)
@@ -419,7 +488,8 @@ def _raunet_pretrained_loader(weights_path: str):
     return overlay
 
 
-@register_model("raunet", pretrained_loader=_raunet_pretrained_loader)
+@register_model("raunet", pretrained_loader=_raunet_pretrained_loader,
+                pretrained_by_default=True)
 def _build_raunet(in_channels, num_classes, image_size, depth, dtype, **kw):
     return RAUNet(in_channels=in_channels, num_classes=num_classes,
                   dtype=dtype, **kw)

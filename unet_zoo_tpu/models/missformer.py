@@ -223,6 +223,15 @@ class PatchExpand(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = nn.Dense(self.dim * 4, use_bias=False, dtype=self.dtype,
                      name="expand")(x)
+        # LN on the grouped pre-shuffle view — identical math (each
+        # output pixel's channels are one contiguous expansion slice),
+        # but the post-shuffle LN backward runs in a scrambled
+        # [b,h,p,w,p] layout that topped the swin train profile
+        # (round-4 attribution).
+        # round-4 measured negative: pre-shuffle LN formulations lose
+        # in-model (missformer train b32: 287 -> 223/234.7 img/s) even
+        # though the post-shuffle LN backward profiles as a top op —
+        # XLA co-optimizes it with the transpose. Keep reference order.
         x = _patch_expand_rearrange(x, 2, self.dim)
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
 
@@ -245,6 +254,8 @@ class FinalPatchExpandX4(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = nn.Dense(self.dim * 16, use_bias=False, dtype=self.dtype,
                      name="expand")(x)
+        # (pre-shuffle LN for the train path measured slower — see
+        # PatchExpand; defer keeps the grouped LN eval head-commute)
         if self.defer_rearrange:
             b, h, w, _ = x.shape
             x = x.reshape(b, h, w, 16, self.dim)

@@ -253,6 +253,14 @@ class PatchExpand(nn.Module):
         x = nn.Dense(2 * c_in, use_bias=False, dtype=self.dtype,
                      name="expand")(x)
         c = 2 * c_in
+        # NOTE (round-4 measured negative, BENCH_NOTES): the train
+        # attribution showed the post-shuffle LN backward as a top op in
+        # a scrambled [b,h,p,w,p] layout, but BOTH pre-shuffle LN
+        # formulations (grouped [B,L,4,C/4] and token-merged [B,4L,C/4]
+        # — mathematically identical) measured SLOWER in-model
+        # (swin train b32: 267.5 -> 231.5 / 240.5 img/s). XLA
+        # co-optimizes the norm with the surrounding transpose; keep the
+        # reference order.
         x = x.reshape(b, h, w, 2, 2, c // 4)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * 2 * w * 2, c // 4)
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
@@ -278,6 +286,9 @@ class FinalPatchExpandX4(nn.Module):
         b, l, c_in = x.shape
         x = nn.Dense(16 * c_in, use_bias=False, dtype=self.dtype,
                      name="expand")(x)
+        # (pre-shuffle LN for the TRAIN path measured slower — see
+        # PatchExpand note; the defer path keeps the grouped LN, the
+        # round-3 eval head-commute, which measured faster at inference)
         if self.defer_rearrange:
             x = x.reshape(b, l, 16, c_in)
             return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,

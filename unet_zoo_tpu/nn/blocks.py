@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from typing import Any, Callable, Optional, Sequence, Tuple
 
+import os
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -276,7 +278,16 @@ class _ConvT2x2Shuffle(nn.Module):
 
 class TransposedUp(nn.Module):
     """ConvTranspose2d(kernel, stride) upsampling
-    (ref: unet_zoo/models/common_layers.py:201-207)."""
+    (ref: unet_zoo/models/common_layers.py:201-207).
+
+    ``UNET_ZOO_CONVT_DTS=1`` routes the k==s==2 case through an exact
+    matmul + depth-to-space formulation instead of XLA's conv-transpose
+    lowering (which runs at ~25% SOL for the zoo's 256px/C=64 decoder
+    stage — round-3 attribution). k==s means zero tap overlap, so
+    ``out[2m+a, 2n+b] = x[m,n] @ K[1-a,1-b]`` — one [Cin, 4*Co] dot
+    whose phase interleave is two reshapes and a transpose XLA can fuse
+    into the consumer. Same 'ConvTranspose_0' param tree either way.
+    """
 
     features: int
     kernel_size: int = 2
@@ -285,13 +296,34 @@ class TransposedUp(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return nn.ConvTranspose(
+        ct = nn.ConvTranspose(
             self.features,
             (self.kernel_size, self.kernel_size),
             strides=(self.strides, self.strides),
             padding="VALID",
             dtype=self.dtype,
-        )(x)
+            name="ConvTranspose_0",
+        )
+        use_dts = (os.environ.get("UNET_ZOO_CONVT_DTS") == "1"
+                   and self.kernel_size == 2 and self.strides == 2
+                   and not self.is_initializing())
+        if not use_dts:
+            return ct(x)
+        p = self.variables["params"]["ConvTranspose_0"]
+        w, bias = p["kernel"], p.get("bias")
+        cin, co = w.shape[2], w.shape[3]
+        # spatial flip + (a, b, co)-major column packing (the transposed
+        # conv applies the kernel flipped; see ops/pallas/fused_up.py's
+        # pack_convt_kernel derivation)
+        wp = w[::-1, ::-1].transpose(2, 0, 1, 3).reshape(cin, 4 * co)
+        b_, h, wd, _ = x.shape
+        up = jnp.dot(x.reshape(b_ * h * wd, cin).astype(self.dtype),
+                     wp.astype(self.dtype))
+        up = up.reshape(b_, h, wd, 2, 2, co)
+        up = up.transpose(0, 1, 3, 2, 4, 5).reshape(b_, 2 * h, 2 * wd, co)
+        if bias is not None:
+            up = up + bias.astype(up.dtype)
+        return up
 
 
 class UpSampleUNet(nn.Module):

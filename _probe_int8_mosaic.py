@@ -22,7 +22,6 @@ Usage: python _probe_int8_mosaic.py [--m 4096 --n 4096 --k 4096]
 from __future__ import annotations
 
 import argparse
-import functools
 import time
 
 import jax

@@ -19,7 +19,6 @@ Usage: python _probe_packed_rsu.py [--b 32] [--h 256] [--mid 16]
 from __future__ import annotations
 
 import argparse
-import functools
 import time
 
 import jax

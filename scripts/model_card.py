@@ -136,6 +136,15 @@ def build_card(name, template, md_rows, bench, conv):
     if name == "vnet":
         notes.append("- The reference refuses to train vnet (quirk Q3); "
                      "this rebuild trains it (receipt above).")
+    if name == "raunet":
+        notes.append("- Pretrained encoder by default, matching the "
+                     "reference ctor (ref raunet.py:77): resolution order "
+                     "is `weights_path=` (torchvision resnet34 .pth, "
+                     "tested conversion) → `$UNET_ZOO_RESNET34` → the "
+                     "vendored synthetic-pretrained encoder "
+                     "(`scripts/pretrain_encoder.py`); "
+                     "`pretrained=False` disables. Delta receipt in "
+                     "CONVERGENCE.json `raunet_pretrained_delta`.")
     if not notes:
         notes.append("- None beyond the zoo-wide ones (static shapes; "
                      "bfloat16 compute with float32 params).")

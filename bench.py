@@ -260,6 +260,20 @@ def main():
         # bf16 roofline; report the ratio against physics alongside
         record["roofline_images_per_sec"] = UNET_BF16_ROOFLINE_IMG_PER_SEC
         record["vs_roofline"] = round(ips / UNET_BF16_ROOFLINE_IMG_PER_SEC, 4)
+        # the TPU-native flagship (models/unet_tpu.py) — the member whose
+        # physics allow the north star — rides the same driver line
+        if os.environ.get("UNET_ZOO_BENCH_FLAGSHIP", "1") != "0":
+            try:
+                fips = bench_model("unet_tpu", 128, 256, args.dtype,
+                                   "fwd", args.nbatches)
+                record["flagship"] = {
+                    "model": "unet_tpu",
+                    "batch": 128,
+                    "images_per_sec": round(fips, 2),
+                    "vs_baseline": round(fips / NORTH_STAR_IMG_PER_SEC, 4),
+                }
+            except Exception as e:  # noqa: BLE001 - never break the driver line
+                record["flagship_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(record))
 
 

@@ -356,6 +356,21 @@ def _build_unext_s(in_channels, num_classes, image_size, depth, dtype, **kw):
     return _build_unext_family(True, in_channels, num_classes, image_size, dtype, kw)
 
 
+@register_model("unet_tpu")
+def _build_unet_tpu(in_channels, num_classes, image_size, depth, dtype,
+                    **kw):
+    """Superset entry (no reference counterpart): the TPU-native
+    flagship — every compute op shaped for the MXU by the round-4
+    measured rules (models/unet_tpu.py docstring). ~23.5 GF/img at
+    256px vs classic unet's 94.2, so the BASELINE.json 5000 img/s north
+    star is reachable by physics."""
+    from unet_zoo_tpu.models.unet_tpu import UNetTPU
+
+    return UNetTPU(in_channels=in_channels, num_classes=num_classes,
+                   widths=tuple(kw.pop("widths", (128, 256, 512, 512))),
+                   dtype=dtype, **kw)
+
+
 @register_model("unext_moe")
 def _build_unext_moe(in_channels, num_classes, image_size, depth, dtype, **kw):
     """Superset entry (no reference counterpart, like ``medt_logo``):

@@ -136,6 +136,17 @@ def build_card(name, template, md_rows, bench, conv):
     if name == "vnet":
         notes.append("- The reference refuses to train vnet (quirk Q3); "
                      "this rebuild trains it (receipt above).")
+    if name == "unet_tpu":
+        notes.append("- Superset entry, designed from the round-4 "
+                     "measured cap tables (models/unet_tpu.py docstring; "
+                     "BENCH_NOTES): the only member above the 5000 "
+                     "img/s north star at the b128 bench config. The "
+                     "stride-4 logit head (unext precedent) trades a "
+                     "little boundary resolution for most of the "
+                     "speedup — on the shapes suite it converges ~0.004 "
+                     "Dice below classic unet (0.9936 vs 0.9977); "
+                     "validate on fine-structure data before swapping "
+                     "it in.")
     if name == "raunet":
         notes.append("- Pretrained encoder by default, matching the "
                      "reference ctor (ref raunet.py:77): resolution order "

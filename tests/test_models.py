@@ -53,3 +53,17 @@ def test_train_mode_updates_batch_stats(name):
         assert any(
             not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(old, new)
         ), "batch_stats did not update in train mode"
+
+
+def test_unet_tpu_size_contract_and_full_res_logits():
+    """The TPU-native flagship predicts at stride 4 and upsamples the
+    logits — output must be full input resolution for any H,W divisible
+    by 32 (4 stride-2 stages after the s4 stem), including non-pow2."""
+    model = create_model("unet_tpu")
+    x = jnp.asarray(
+        np.random.default_rng(5).standard_normal((1, 96, 160, 3)),
+        jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert out["main"].shape == (1, 96, 160, 1)
+    assert np.isfinite(np.asarray(out["main"])).all()

@@ -144,7 +144,8 @@ def build_card(name, template, md_rows, bench, conv):
                      "stride-4 logit head (unext precedent) trades a "
                      "little boundary resolution for most of the "
                      "speedup — on the shapes suite it converges ~0.004 "
-                     "Dice below classic unet (0.9936 vs 0.9977); "
+                     "Dice below classic unet at 256px (0.9936 vs "
+                     "0.9977) and ~0.02 below at 96px (QUALITY_AB.json); "
                      "validate on fine-structure data before swapping "
                      "it in.")
     if name == "raunet":

@@ -264,8 +264,12 @@ def main():
         # physics allow the north star — rides the same driver line
         if os.environ.get("UNET_ZOO_BENCH_FLAGSHIP", "1") != "0":
             try:
+                # MORE timed batches than the primary: at ~7k img/s a
+                # short run is eaten by the relay's fixed fetch latency
+                # (8 batches measured 4519 "img/s" vs 6835-6960 at 16+);
+                # compile dominates the added wall time either way
                 fips = bench_model("unet_tpu", 128, 256, args.dtype,
-                                   "fwd", args.nbatches)
+                                   "fwd", max(args.nbatches, 32))
                 record["flagship"] = {
                     "model": "unet_tpu",
                     "batch": 128,

@@ -56,8 +56,29 @@ def ensure_dataset(data_dir: str, size: int, n_train: int, n_valid: int,
         check=True)
 
 
-def run_reference(models, data_dir, size, epochs, batch, lr, run_dir):
-    """Train each model with the reference's train_model (torch CPU)."""
+# members that need explicit kwargs at create time on BOTH sides
+# (uctransnet hard-requires image_size — ref models/__init__.py:125-126;
+# the medt family's axial position tables are sized by img_size)
+_NEEDS_IMAGE_SIZE = {"uctransnet", "axialunet", "gated", "medt", "logo"}
+
+# per-model ctor kwargs applied on BOTH sides. raunet: pretrained=False
+# keeps the comparison init-fair — the reference default would download
+# torchvision weights (impossible offline; the test stub asserts) and the
+# repo default would load its vendored synthetic-pretrained encoder.
+_SPECIAL_KW = {"raunet": {"pretrained": False}}
+
+
+def run_reference(models, data_dir, size, epochs, batch, lr, run_dir,
+                  seed=0):
+    """Train each model with the reference's train_model (torch CPU).
+
+    ``seed`` drives torch's parameter init AND the train loader's
+    shuffle order (the two run-to-run noise sources; pixels are fixed).
+    Note vnet DOES train here: the reference's "VNet is 3D" rejection
+    (ref utils/training_loop.py:195-200) only fires for DataParallel-
+    wrapped models — quirk Q3's `type(model)` assignment skips the check
+    on the single-device path this A/B uses.
+    """
     import torch
     from torch.utils.data import DataLoader, Dataset
 
@@ -122,9 +143,9 @@ def run_reference(models, data_dir, size, epochs, batch, lr, run_dir):
     })
     gpu_manager = MultiGPUManager(cfg)
 
-    torch.manual_seed(0)
+    torch.manual_seed(seed)
     g = torch.Generator()
-    g.manual_seed(0)
+    g.manual_seed(seed)
     train_loader = DataLoader(PairDataset(data_dir, "train"),
                               batch_size=batch, shuffle=True, generator=g,
                               drop_last=True)
@@ -133,8 +154,10 @@ def run_reference(models, data_dir, size, epochs, batch, lr, run_dir):
 
     results = {}
     for name in models:
-        torch.manual_seed(0)
-        model = ref_create_model(name)
+        torch.manual_seed(seed)
+        kw = {"image_size": size} if name in _NEEDS_IMAGE_SIZE else {}
+        kw.update(_SPECIAL_KW.get(name, {}))
+        model = ref_create_model(name, **kw)
         model = gpu_manager.setup_model_for_gpu(model)
         optimizer = torch.optim.AdamW(model.parameters(), lr=lr,
                                       weight_decay=1e-5)
@@ -151,9 +174,12 @@ def run_reference(models, data_dir, size, epochs, batch, lr, run_dir):
     return results
 
 
-def run_repo(models, data_dir, size, epochs, batch, lr, run_dir):
+def run_repo(models, data_dir, size, epochs, batch, lr, run_dir, seed=0):
     """Train through scripts/train.py (the production path), parse the
-    per-epoch val Dice from the training logs."""
+    per-epoch val Dice from the training logs. ``seed`` maps to the
+    native ``training.seed`` (init PRNGKey + loader shuffle)."""
+    special = {m: kw for m, kw in _SPECIAL_KW.items() if m in models}
+    params_yaml = json.dumps(special) if special else "{}"
     cfg = f"""
 general:
   project_name: qab_repo
@@ -171,11 +197,12 @@ training:
   lr_scheduler_factor: 0.2
   min_lr: 1e-7
   num_classes: 1
+  seed: {seed}
 gpu:
   use_multi_gpu: false
 models:
   names: [{", ".join(models)}]
-  params: {{}}
+  params: {params_yaml}
 """
     cfg_path = os.path.join(run_dir, "repo_cfg.yaml")
     with open(cfg_path, "w") as f:
@@ -219,6 +246,10 @@ def main():
     ap.add_argument("--out", default=os.path.join(ROOT, "QUALITY_AB.json"))
     ap.add_argument("--skip-reference", action="store_true")
     ap.add_argument("--skip-repo", action="store_true")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="init + shuffle seed on both sides (pixels are "
+                         "fixed); results land under multi_seed[model]"
+                         "[side][seed] in the output JSON")
     args = ap.parse_args()
 
     models = [m.strip() for m in args.models.split(",") if m.strip()]
@@ -234,29 +265,38 @@ def main():
     if os.path.exists(args.out):
         record = json.load(open(args.out))
 
+    def store(side, results):
+        # seed 0 keeps the original flat layout (round-4 consumers);
+        # every run also lands in multi_seed[model][side][seed]
+        if args.seed == 0:
+            record[side] = {**record.get(side, {}), **results}
+        ms = record.setdefault("multi_seed", {})
+        for name, traj in results.items():
+            ms.setdefault(name, {}).setdefault(side, {})[
+                str(args.seed)] = traj
+        json.dump(record, open(args.out, "w"), indent=1)
+
     if not args.skip_repo:
-        record["repo"] = {**record.get("repo", {}),
-                          **run_repo(models, args.data_dir, args.size,
-                                     args.epochs, args.batch, args.lr,
-                                     args.run_dir)}
-        json.dump(record, open(args.out, "w"), indent=1)
+        store("repo", run_repo(models, args.data_dir, args.size,
+                               args.epochs, args.batch, args.lr,
+                               args.run_dir, seed=args.seed))
     if not args.skip_reference:
-        record["reference"] = {**record.get("reference", {}),
-                               **run_reference(models, args.data_dir,
-                                               args.size, args.epochs,
-                                               args.batch, args.lr,
-                                               args.run_dir)}
-        json.dump(record, open(args.out, "w"), indent=1)
+        store("reference", run_reference(models, args.data_dir, args.size,
+                                         args.epochs, args.batch, args.lr,
+                                         args.run_dir, seed=args.seed))
 
     json.dump(record, open(args.out, "w"), indent=1)
     print(f"wrote {args.out}")
 
     for name in models:
-        ref = record.get("reference", {}).get(name)
-        rep = record.get("repo", {}).get(name)
+        ms = record.get("multi_seed", {}).get(name, {})
+        ref = ms.get("reference", {}).get(str(args.seed)) or record.get(
+            "reference", {}).get(name)
+        rep = ms.get("repo", {}).get(str(args.seed)) or record.get(
+            "repo", {}).get(name)
         if ref and rep:
-            print(f"{name}: reference best {max(ref):.4f} | "
-                  f"repo best {max(rep):.4f}")
+            print(f"{name} (seed {args.seed}): reference best "
+                  f"{max(ref):.4f} | repo best {max(rep):.4f}")
 
 
 if __name__ == "__main__":

@@ -126,7 +126,7 @@ def main():
     train_loader = create_loader(train_dataset, batch_size=config.BATCH_SIZE,
                                  shuffle=True, drop_last=True,
                                  num_workers=config.NUM_WORKERS,
-                                 backend=config.LOADER)
+                                 backend=config.LOADER, seed=config.SEED)
     val_loader = create_loader(val_dataset, batch_size=config.BATCH_SIZE,
                                shuffle=False, num_workers=config.NUM_WORKERS,
                                backend=config.LOADER)

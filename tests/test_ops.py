@@ -72,3 +72,23 @@ def test_pad_to_match():
     assert y.shape == (1, 8, 9, 2)
     # pad low = diff//2: rows 0 (dh=3 -> 1 low), cols (dw=3 -> 1 low)
     assert float(y[0, 0, 3, 0]) == 0.0 and float(y[0, 1, 1, 0]) == 1.0
+
+
+def test_transposed_up_dts_env_parity(monkeypatch):
+    """UNET_ZOO_CONVT_DTS=1 (matmul + depth-to-space ConvTranspose
+    formulation, nn/blocks.py TransposedUp) must be numerically exact vs
+    the default nn.ConvTranspose path on the same stored params."""
+    import jax
+
+    from unet_zoo_tpu.nn.blocks import TransposedUp
+
+    mod = TransposedUp(features=6)
+    x = jnp.asarray(_rand((2, 5, 7, 4), seed=3))
+    monkeypatch.delenv("UNET_ZOO_CONVT_DTS", raising=False)
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    base = mod.apply(variables, x)
+    assert base.shape == (2, 10, 14, 6)
+    monkeypatch.setenv("UNET_ZOO_CONVT_DTS", "1")
+    dts = mod.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(dts), np.asarray(base),
+                               rtol=1e-5, atol=1e-5)

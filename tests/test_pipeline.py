@@ -141,3 +141,45 @@ def test_bridge_pipeline_matches_inmodel_loop():
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    rtol=2e-5, atol=2e-5)
+
+def test_with_bridge_pipeline_matches_sequential_model():
+    """The production PP path — ``ZooModel.with_bridge_pipeline`` (what
+    ``multi_gpu_strategy: pipeline`` builds, train/loop.py) — must match
+    the standard sequential uctransnet forward AND its gradients on the
+    same variables. (Advisor round-4: only the library-level
+    pipeline_bridge had a parity test; the e2e test checked finiteness.)
+    """
+    mesh = create_mesh(jax.devices()[:4], model_axis=4)
+    model = create_model("uctransnet", image_size=64)
+    variables = model.init(jax.random.PRNGKey(0), model.dummy_input(1, 64))
+    x = jnp.asarray(
+        np.random.default_rng(11).standard_normal((2, 64, 64, 3)),
+        jnp.float32)
+
+    want = model.apply(variables, x, train=False)["main"]
+    pmodel = model.with_bridge_pipeline(mesh, num_microbatches=2)
+    got = pmodel.apply(variables, x, train=False)["main"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=2e-5)
+
+    # gradient parity through the GPipe schedule (eval-mode loss so the
+    # batch stats stay fixed on both paths)
+    tgt = jnp.asarray(
+        (np.random.default_rng(12).random((2, 64, 64, 1)) > 0.5)
+        .astype(np.float32))
+    aux = {k: v for k, v in variables.items() if k != "params"}
+
+    def make_loss(m):
+        def f(params):
+            out = m.module.apply({"params": params, **aux}, x, train=False)
+            return jnp.mean(
+                jax.nn.sigmoid(out["main"].astype(jnp.float32)) * tgt)
+
+        return f
+
+    g_seq = jax.jit(jax.grad(make_loss(model)))(variables["params"])
+    g_pipe = jax.jit(jax.grad(make_loss(pmodel)))(variables["params"])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+        g_seq, g_pipe)

@@ -58,6 +58,9 @@ class Config:
         # bce (reference-faithful default) | dice | bce_dice | focal | tversky
         self.LOSS: str = t.get("loss", "bce")
         self.LOSS_KWARGS: Dict[str, Any] = dict(t.get("loss_kwargs") or {})
+        # parameter-init / shuffle seed (native extension; the reference
+        # trainer has no seed control — quality-A/B seed studies need one)
+        self.SEED: int = int(t.get("seed", 0))
 
         gpu = d.get("gpu", {})
         self.USE_MULTI_GPU = gpu.get("use_multi_gpu", False)

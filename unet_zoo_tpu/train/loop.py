@@ -170,7 +170,8 @@ def train_model(
 
     start_epoch = 0
     if state is None:
-        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        rng = rng if rng is not None else jax.random.PRNGKey(
+            getattr(config, "SEED", 0))
         sample = model.dummy_input(batch=1, image_size=config.IMAGE_SIZE)
         state = create_train_state(
             model, rng, sample, learning_rate=config.LEARNING_RATE,
@@ -264,16 +265,32 @@ def train_model(
                     f"{sorted(SPATIAL_TOPOLOGIES)} (halo-exchange "
                     f"topologies; parallel/spatial_models.py), not "
                     f"'{model.name}'")
-            div = SPATIAL_TOPOLOGIES[model.name] * n_sh
+            # per-shard H divisibility: 2**(levels of stride-2 downsampling)
+            # — derived from the configured depth where the model has one
+            # (a YAML depth: 6 attention_unet needs 32, not the default-
+            # depth constant), else the topology's fixed constant
+            depth_attr = getattr(model.module, "depth", None)
+            per_shard = (2 ** (int(depth_attr) - 1) if depth_attr
+                         else SPATIAL_TOPOLOGIES[model.name])
+            div = per_shard * n_sh
             if config.IMAGE_SIZE % div:
                 raise ValueError(
                     f"spatial: image_size {config.IMAGE_SIZE} must be "
                     f"divisible by {div} "
-                    f"({SPATIAL_TOPOLOGIES[model.name]} x {n_sh} H shards)")
+                    f"({per_shard} x {n_sh} H shards)")
             if getattr(config, "LOSS", "bce") != "bce":
                 raise ValueError(
                     "spatial training uses the BCE-with-logits criterion "
                     "(training.loss: bce)")
+            if getattr(config, "LOSS_KWARGS", {}):
+                raise ValueError(
+                    "spatial training does not take training.loss_kwargs "
+                    "(the halo steps build the plain BCE criterion)")
+            if int(getattr(config, "GRAD_ACCUM_STEPS", 1)) > 1:
+                raise ValueError(
+                    "spatial training does not support training.grad_"
+                    "accum_steps > 1 (the halo train step has no "
+                    "microbatch scan); unset it or use a data strategy")
             state = replicate_state(mesh, state)
         elif strategy in ("dataparallel", "data_parallel", "dp", "ddp"):
             state = replicate_state(mesh, state)

@@ -58,6 +58,47 @@ def check_dataset_integrity(dataset_path: str, logger) -> None:
                     f"shape = {arr.shape}")
 
 
+def boundary_f1(pred_mask, target_mask, tolerance: int = 2) -> float:
+    """Boundary F1 (BF score) between binary masks — host-side numpy
+    metric for fine-structure evaluation (round-5 quality benchmark).
+
+    Definition (Csurka et al. / BFScore as in common segmentation
+    toolboxes): precision = fraction of predicted boundary pixels within
+    ``tolerance`` (Euclidean) of a ground-truth boundary pixel, recall =
+    the converse, F1 = their harmonic mean. Boundaries are 4-connected
+    inner contours (mask minus its erosion). Dice under-weights thin
+    structures — a 1px-dilated curve still scores high Dice but low
+    boundary precision — which is exactly what this metric is for.
+
+    Edge cases: both masks boundary-free -> 1.0; exactly one -> 0.0.
+    Accepts bool/0-1 arrays of shape [H, W] (or anything squeezable).
+    """
+    import numpy as np
+    from scipy import ndimage
+
+    def contour(m):
+        m = np.asarray(m).astype(bool)
+        m = np.squeeze(m)
+        er = ndimage.binary_erosion(
+            m, structure=ndimage.generate_binary_structure(2, 1),
+            border_value=0)
+        return m & ~er
+
+    bp, bt = contour(pred_mask), contour(target_mask)
+    np_, nt = int(bp.sum()), int(bt.sum())
+    if np_ == 0 and nt == 0:
+        return 1.0
+    if np_ == 0 or nt == 0:
+        return 0.0
+    dist_to_t = ndimage.distance_transform_edt(~bt)
+    dist_to_p = ndimage.distance_transform_edt(~bp)
+    precision = float((dist_to_t[bp] <= tolerance).mean())
+    recall = float((dist_to_p[bt] <= tolerance).mean())
+    if precision + recall == 0:
+        return 0.0
+    return 2.0 * precision * recall / (precision + recall)
+
+
 def iou_score(
     prediction_logits: jnp.ndarray,
     target: jnp.ndarray,

@@ -154,23 +154,28 @@ def run_reference(models, data_dir, size, epochs, batch, lr, run_dir,
 
     results = {}
     for name in models:
-        torch.manual_seed(seed)
-        kw = {"image_size": size} if name in _NEEDS_IMAGE_SIZE else {}
-        kw.update(_SPECIAL_KW.get(name, {}))
-        model = ref_create_model(name, **kw)
-        model = gpu_manager.setup_model_for_gpu(model)
-        optimizer = torch.optim.AdamW(model.parameters(), lr=lr,
-                                      weight_decay=1e-5)
-        criterion = torch.nn.BCEWithLogitsLoss()
-        logger = RefLogger(os.path.join(run_dir, f"ref_{name}.log"))
-        ckpt = os.path.join(run_dir, f"ref_{name}")
-        _, _, _, val_dcs, _ = ref_train_model(
-            model, train_loader, val_loader, optimizer, criterion, cfg,
-            name, ckpt + "_best.pth", ckpt + "_last.pth", logger,
-            gpu_manager)
-        logger.close()
-        results[name] = [round(float(v), 4) for v in val_dcs]
-        print(f"[reference] {name}: {results[name]}", flush=True)
+        try:
+            torch.manual_seed(seed)
+            kw = {"image_size": size} if name in _NEEDS_IMAGE_SIZE else {}
+            kw.update(_SPECIAL_KW.get(name, {}))
+            model = ref_create_model(name, **kw)
+            model = gpu_manager.setup_model_for_gpu(model)
+            optimizer = torch.optim.AdamW(model.parameters(), lr=lr,
+                                          weight_decay=1e-5)
+            criterion = torch.nn.BCEWithLogitsLoss()
+            logger = RefLogger(os.path.join(run_dir, f"ref_{name}.log"))
+            ckpt = os.path.join(run_dir, f"ref_{name}")
+            _, _, _, val_dcs, _ = ref_train_model(
+                model, train_loader, val_loader, optimizer, criterion, cfg,
+                name, ckpt + "_best.pth", ckpt + "_last.pth", logger,
+                gpu_manager)
+            logger.close()
+            results[name] = [round(float(v), 4) for v in val_dcs]
+            print(f"[reference] {name}: {results[name]}", flush=True)
+        except Exception as e:  # one member's crash must not lose the group
+            print(f"[reference] {name}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
+            results[name] = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
     return results
 
 
@@ -294,7 +299,7 @@ def main():
             "reference", {}).get(name)
         rep = ms.get("repo", {}).get(str(args.seed)) or record.get(
             "repo", {}).get(name)
-        if ref and rep:
+        if isinstance(ref, list) and isinstance(rep, list) and ref and rep:
             print(f"{name} (seed {args.seed}): reference best "
                   f"{max(ref):.4f} | repo best {max(rep):.4f}")
 

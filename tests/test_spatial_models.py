@@ -93,3 +93,40 @@ def test_spatial_attention_unet_train_step_matches():
 @pytest.mark.slow
 def test_spatial_resunet_train_step_matches():
     _train_match("resunet", 4)
+
+
+def test_spatial_upsample4_bilinear_matches_resize():
+    """The one-pass x4 halo op == single-device bilinear x4 resize
+    (align_corners=False) — the round-4 handoff's caveat (two chained 2x
+    passes are NOT numerically identical) is what this op exists for."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from unet_zoo_tpu.ops import resize_bilinear
+    from unet_zoo_tpu.parallel.spatial import spatial_upsample4_bilinear
+
+    mesh = _mesh(4)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 16, 12, 3)), jnp.float32)
+    want = resize_bilinear(x, (64, 48), align_corners=False)
+
+    spec = P(None, "data", None, None)
+    fn = jax.jit(shard_map(
+        lambda t: spatial_upsample4_bilinear(t, "data"), mesh=mesh,
+        in_specs=(spec,), out_specs=spec, check_vma=False))
+    got = fn(jax.device_put(x, spatial_sharding(mesh)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_spatial_unet_tpu_fwd_matches():
+    _fwd_match("unet_tpu", 2)
+
+
+def test_spatial_unet_tpu_dts_fwd_matches():
+    _fwd_match("unet_tpu", 2, head_mode="dts")
+
+
+@pytest.mark.slow
+def test_spatial_unet_tpu_train_step_matches():
+    _train_match("unet_tpu", 2)

@@ -371,6 +371,27 @@ def _build_unet_tpu(in_channels, num_classes, image_size, depth, dtype,
                    dtype=dtype, **kw)
 
 
+_U2NET_TPU_LOSS_WEIGHTS = {  # U2NET convention: unit weight per side
+    "main": 1.0, "side1": 1.0, "side2": 1.0, "side3": 1.0, "side4": 1.0,
+}
+
+
+@register_model("u2net_tpu", loss_weights=_U2NET_TPU_LOSS_WEIGHTS)
+def _build_u2net_tpu(in_channels, num_classes, image_size, depth, dtype,
+                     **kw):
+    """Superset entry (no reference counterpart): the flagship recipe
+    (models/unet_tpu.py) applied to the U²-Net class — nested mini-U
+    stages with C>=128 at <=64px, dilated bottleneck, four supervised
+    side outputs (models/u2net_tpu.py docstring carries the measured
+    rules; the member it answers to is ref u2net.py:25-298)."""
+    from unet_zoo_tpu.models.u2net_tpu import U2NetTPU
+
+    return U2NetTPU(in_channels=in_channels, num_classes=num_classes,
+                    widths=tuple(kw.pop("widths", (128, 256, 512, 512))),
+                    levels=tuple(kw.pop("levels", (2, 2, 1))),
+                    dtype=dtype, **kw)
+
+
 @register_model("unext_moe")
 def _build_unext_moe(in_channels, num_classes, image_size, depth, dtype, **kw):
     """Superset entry (no reference counterpart, like ``medt_logo``):
@@ -445,17 +466,23 @@ def _raunet_pretrained_loader(weights_path: Optional[str] = None):
               "(python scripts/pretrain_encoder.py). Using random init.")
         return None
 
-    import torch
+    # lazy: the .pth is read and converted only when the overlay is
+    # actually applied to freshly-initialized variables (checkpoint-
+    # restore/eval flows immediately overwrite the init and never pay it)
+    def overlay(variables):
+        import torch
 
-    from unet_zoo_tpu.utils.convert import convert_resnet34_torchvision
+        from unet_zoo_tpu.utils.convert import convert_resnet34_torchvision
 
-    sd = torch.load(weights_path, map_location="cpu")
-    if hasattr(sd, "state_dict"):
-        sd = sd.state_dict()
-    sd = {k[7:] if k.startswith("module.") else k: v for k, v in sd.items()}
-    enc_p, enc_s = convert_resnet34_torchvision(sd)
+        sd = torch.load(weights_path, map_location="cpu")
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        sd = {k[7:] if k.startswith("module.") else k: v
+              for k, v in sd.items()}
+        enc_p, enc_s = convert_resnet34_torchvision(sd)
+        return _encoder_overlay(enc_p, enc_s)(variables)
 
-    return _encoder_overlay(enc_p, enc_s)
+    return overlay
 
 
 _VENDORED_CACHE: Dict[str, Any] = {}
@@ -463,20 +490,29 @@ _VENDORED_CACHE: Dict[str, Any] = {}
 
 def _raunet_vendored_loader(msgpack_path: str):
     """Overlay from the vendored flax-serialized encoder
-    (scripts/pretrain_encoder.py's output: f16 params + f32 stats)."""
-    from flax import serialization
+    (scripts/pretrain_encoder.py's output: f16 params + f32 stats).
 
-    enc = _VENDORED_CACHE.get(msgpack_path)
-    if enc is None:
-        with open(msgpack_path, "rb") as f:
-            enc = serialization.msgpack_restore(f.read())
-        _VENDORED_CACHE[msgpack_path] = enc
-    print("raunet: using the vendored synthetic-pretrained encoder "
-          f"({os.path.basename(msgpack_path)}; task="
-          f"{enc.get('meta', {}).get('task', '?')}). For the reference's "
-          "exact ImageNet init, pass weights_path=<torchvision resnet34 "
-          ".pth> or set $UNET_ZOO_RESNET34.")
-    return _encoder_overlay(enc["params"], enc["batch_stats"])
+    Lazy: the ~41 MB msgpack is deserialized only when the overlay is
+    applied to fresh variables — ``create_model('raunet')`` alone (and
+    every checkpoint-restore/eval flow, which overwrites the init) never
+    pays the load."""
+
+    def overlay(variables):
+        from flax import serialization
+
+        enc = _VENDORED_CACHE.get(msgpack_path)
+        if enc is None:
+            with open(msgpack_path, "rb") as f:
+                enc = serialization.msgpack_restore(f.read())
+            _VENDORED_CACHE[msgpack_path] = enc
+        print("raunet: using the vendored synthetic-pretrained encoder "
+              f"({os.path.basename(msgpack_path)}; task="
+              f"{enc.get('meta', {}).get('task', '?')}). For the "
+              "reference's exact ImageNet init, pass weights_path="
+              "<torchvision resnet34 .pth> or set $UNET_ZOO_RESNET34.")
+        return _encoder_overlay(enc["params"], enc["batch_stats"])(variables)
+
+    return overlay
 
 
 def _encoder_overlay(enc_p, enc_s):

@@ -37,10 +37,24 @@ from unet_zoo_tpu.ops import resize_bilinear, upsample2x_nearest
 
 
 class UNetTPU(nn.Module):
+    """head_mode selects the logit head (both predict from the stride-4
+    decoder feature; neither adds full-resolution conv FLOPs):
+
+    * ``"bilinear"`` — 1x1 conv to num_classes at s4, bilinear x4 logit
+      upsample (the unext precedent). Cheapest; measured ~0.02 Dice cost
+      at 96px on fine structures (logit grid = stride 4).
+    * ``"dts"`` — 3x3 conv to 16*num_classes at s4, depth-to-space to
+      FULL-resolution logits (one MXU matmul, ~0.15 GF/img at 256px:
+      sub-cell geometry becomes learnable instead of interpolated; the
+      same move as wranet's PixelShuffle decoder, ref wranet.py:160-174,
+      applied to the logit head).
+    """
+
     in_channels: int = 3
     num_classes: int = 1
     # channels per stage at strides (4, 8, 16, 32)
     widths: Sequence[int] = (128, 256, 512, 512)
+    head_mode: str = "bilinear"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -71,6 +85,21 @@ class UNetTPU(nn.Module):
             h = jnp.concatenate([h, skips[i]], axis=-1)
             h = DoubleConv(w[i], dtype=dt, name=f"dec{i}")(h, train)
 
+        if self.head_mode == "dts":
+            # sub-pixel head: 16 logits per s4 cell, depth-to-space to
+            # full resolution — out[4i+a, 4j+b] = head[i, j, a, b]
+            nc = self.num_classes
+            hd = nn.Conv(16 * nc, (3, 3), dtype=dt, name="head_dts")(h)
+            b, hs, ws, _ = hd.shape
+            hd = hd.reshape(b, hs, ws, 4, 4, nc)
+            logits = hd.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b, 4 * hs, 4 * ws, nc).astype(jnp.float32)
+            if (4 * hs, 4 * ws) != (h_in, w_in):
+                # odd input sizes: patchify floor-divides; restore the
+                # input resolution contract exactly as the bilinear head
+                logits = resize_bilinear(logits, (h_in, w_in),
+                                         align_corners=False)
+            return {"main": logits}
         logits = nn.Conv(self.num_classes, (1, 1), dtype=dt,
                          name="head")(h)
         # predict at stride 4, upsample the LOGITS (unext precedent):

@@ -154,6 +154,45 @@ def spatial_upsample2_bilinear(x: jnp.ndarray,
     return cols.reshape(b, 2 * h, 2 * w, c)
 
 
+def spatial_upsample4_bilinear(x: jnp.ndarray,
+                               axis_name: str = "data") -> jnp.ndarray:
+    """ONE-PASS 4x bilinear upsample (align_corners=False) over an
+    H-sharded block — numerically identical to a single-device
+    ``resize_bilinear(x, (4H, 4W))``.
+
+    Two chained 2x passes are NOT: x4 half-pixel sampling positions
+    ``src = (o + 0.5)/4 - 0.5`` are not reachable by composing two
+    half-pixel x2 grids (the round-4 handoff's caveat — this op is what
+    unet_tpu's stride-4 logit head needs under spatial sharding).
+
+    For output row ``4i + a``: src = i + (2a - 3)/8, so
+      a=0: 0.375*x[i-1] + 0.625*x[i]     a=1: 0.125*x[i-1] + 0.875*x[i]
+      a=2: 0.875*x[i] + 0.125*x[i+1]     a=3: 0.625*x[i] + 0.375*x[i+1]
+    with edge clamping at the GLOBAL borders only (interior shards take
+    real neighbor rows via the halo exchange). W is shard-local.
+    """
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    xh = halo_exchange_h(x, 1, 1, axis_name)  # [B, 1+H+1, W, C]
+    up_row = jnp.where(idx == 0, x[:, :1], xh[:, :1])
+    down_row = jnp.where(idx == n - 1, x[:, -1:], xh[:, -1:])
+    prev = jnp.concatenate([up_row, x[:, :-1]], axis=1)
+    nxt = jnp.concatenate([x[:, 1:], down_row], axis=1)
+
+    def phases(cur, prv, nx, axis):
+        a0 = 0.375 * prv + 0.625 * cur
+        a1 = 0.125 * prv + 0.875 * cur
+        a2 = 0.875 * cur + 0.125 * nx
+        a3 = 0.625 * cur + 0.375 * nx
+        return jnp.stack([a0, a1, a2, a3], axis=axis)
+
+    b, h, w, c = x.shape
+    rows = phases(x, prev, nxt, 2).reshape(b, 4 * h, w, c)
+    left = jnp.concatenate([rows[:, :, :1], rows[:, :, :-1]], axis=2)
+    right = jnp.concatenate([rows[:, :, 1:], rows[:, :, -1:]], axis=2)
+    return phases(rows, left, right, 3).reshape(b, 4 * h, 4 * w, c)
+
+
 def make_spatial_fn(mesh: Mesh, fn: Callable, axis_name: str = "data"):
     """Wrap a shard-local function (built from the ops above) into a
     jitted global-array program: inputs/outputs H-sharded over the mesh."""

@@ -36,14 +36,17 @@ from unet_zoo_tpu.parallel.spatial import (
     spatial_conv_transpose2x2,
     spatial_max_pool2,
     spatial_upsample2,
+    spatial_upsample4_bilinear,
 )
 
 # model name -> H divisibility requirement per shard count (2**levels of
-# stride-2 downsampling each halving H_local, which must stay even)
+# stride-2 downsampling each halving H_local, which must stay even;
+# unet_tpu: s4 patchify stem x 3 stride-2 downs = total stride 32)
 SPATIAL_TOPOLOGIES: Dict[str, int] = {
     "unet": 16,
     "attention_unet": 16,
     "resunet": 8,
+    "unet_tpu": 32,
 }
 
 
@@ -223,6 +226,58 @@ def resunet_local(variables, x, bn, axis):
     return _conv1x1(u, p["Conv_3"]), new_stats
 
 
+def unet_tpu_local(variables, x, bn, axis):
+    """models/unet_tpu.UNetTPU.__call__, shard-local (round-5 item 5).
+
+    * s4 patchify stem: stride == kernel -> no halo (needs H_local % 4
+      == 0, implied by the 32-divisibility requirement);
+    * stride-2 ConvNormAct downs / DoubleConvs: halo convs;
+    * nearest-up decoder: shard-local;
+    * logit head: 1x1 conv ('head') or 3x3 conv + depth-to-space
+      ('head_dts'), then the ONE-PASS x4 bilinear logit upsample
+      (spatial_upsample4_bilinear — exact vs single-device resize).
+    """
+    p, s = variables["params"], variables["batch_stats"]
+    n_stages = sum(1 for k in p if k.startswith("enc"))
+    new_stats: Dict[str, Any] = {}
+
+    st = p["stem"]
+    h = jax.lax.conv_general_dilated(
+        x, st["kernel"], window_strides=(4, 4), padding=((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + st["bias"]
+    h, new_stats["stem_bn"] = bn(h, p["stem_bn"], s["stem_bn"])
+    h = jax.nn.gelu(h)
+
+    skips = []
+    for i in range(n_stages):
+        h, new_stats[f"enc{i}"] = double_conv(
+            h, p[f"enc{i}"], s[f"enc{i}"], bn, axis)
+        skips.append(h)
+        h, new_stats[f"down{i}"] = conv_norm_act(
+            h, p[f"down{i}"], s[f"down{i}"], bn, axis, strides=2)
+
+    h, new_stats["bottleneck"] = double_conv(
+        h, p["bottleneck"], s["bottleneck"], bn, axis)
+
+    for i in range(n_stages - 1, -1, -1):
+        h = jnp.concatenate([spatial_upsample2(h), skips[i]], axis=-1)
+        h, new_stats[f"dec{i}"] = double_conv(
+            h, p[f"dec{i}"], s[f"dec{i}"], bn, axis)
+
+    if "head_dts" in p:
+        hd = spatial_conv2d(h, p["head_dts"]["kernel"], axis_name=axis)
+        hd = hd + p["head_dts"]["bias"]
+        b, hs, ws, chans = hd.shape
+        nc = chans // 16
+        hd = hd.reshape(b, hs, ws, 4, 4, nc)
+        logits = hd.transpose(0, 1, 3, 2, 4, 5).reshape(
+            b, 4 * hs, 4 * ws, nc).astype(jnp.float32)
+    else:
+        logits = _conv1x1(h, p["head"]).astype(jnp.float32)
+        logits = spatial_upsample4_bilinear(logits, axis_name=axis)
+    return logits, new_stats
+
+
 def get_local_forward(model_name: str) -> Callable:
     """(variables, x, bn, axis) -> (logits, new_batch_stats) for a
     supported topology (unet's lives in spatial_unet.py)."""
@@ -230,6 +285,8 @@ def get_local_forward(model_name: str) -> Callable:
         return attention_unet_local
     if model_name == "resunet":
         return resunet_local
+    if model_name == "unet_tpu":
+        return unet_tpu_local
     if model_name == "unet":
         from unet_zoo_tpu.parallel.spatial_unet import unet_local_unified
 

@@ -270,8 +270,13 @@ def train_model(
             # (a YAML depth: 6 attention_unet needs 32, not the default-
             # depth constant), else the topology's fixed constant
             depth_attr = getattr(model.module, "depth", None)
-            per_shard = (2 ** (int(depth_attr) - 1) if depth_attr
-                         else SPATIAL_TOPOLOGIES[model.name])
+            if model.name == "unet_tpu":
+                # s4 patchify stem x stride-2 downs between stages
+                per_shard = 4 * 2 ** (len(model.module.widths) - 1)
+            elif depth_attr:
+                per_shard = 2 ** (int(depth_attr) - 1)
+            else:
+                per_shard = SPATIAL_TOPOLOGIES[model.name]
             div = per_shard * n_sh
             if config.IMAGE_SIZE % div:
                 raise ValueError(

@@ -42,9 +42,12 @@ def cells(quick: bool):
     core += [("unet_tpu", s, b, None) for s in (256, 512) for b in (1, 8)]
     core += [("u2net_tpu", s, b, None) for s in (256, 512) for b in (1, 8)]
     core += [("attention_unet", 256, 1, None), ("u2net", 256, 1, None)]
-    # fused_up switch point: forced-Pallas vs the default XLA path
-    pall = [("unet", s, b, {"use_pallas": True})
-            for s in (256, 512) for b in (1, 8)]
+    # fused_up at 512px only: the round-3 in-model A/B already measured
+    # 256px (kernel loses 0.87-1.01x at every batch — BENCH_NOTES
+    # "unet small-batch latency A/B"; the standalone 1.6-2.5x win never
+    # transfers because XLA fuses the skip-concat into the consumer
+    # conv). 512px small-batch is the unmeasured cell.
+    pall = [("unet", 512, b, {"use_pallas": True}) for b in (1, 8)]
     if quick:
         return core[:4]
     return core + pall

@@ -165,6 +165,34 @@ def test_strategy_validation_errors(tmp_path):
                     "m", str(tmp_path / "b"), str(tmp_path / "l"),
                     logger, mesh=mesh2)
 
+    # spatial divisor follows the CONFIGURED depth (advisor r4: a YAML
+    # depth 6 attention_unet needs 32/shard, not the default-depth 16)
+    # (96 inits cleanly but is not divisible by 32*2 shards = 64)
+    with pytest.raises(ValueError, match="divisible by 64"):
+        train_model(create_model("attention_unet", depth=6), [], [],
+                    cfg_for("spatial", 96), "m", str(tmp_path / "b"),
+                    str(tmp_path / "l"), logger, mesh=mesh2)
+    # flagship topology: s4 stem x 3 downs -> 32/shard
+    with pytest.raises(ValueError, match="divisible by 64"):
+        train_model(create_model("unet_tpu"), [], [],
+                    cfg_for("spatial", 96), "m", str(tmp_path / "b"),
+                    str(tmp_path / "l"), logger, mesh=mesh2)
+
+    # spatial ignores neither grad accumulation nor loss kwargs
+    # (advisor r4: they were silently dropped before)
+    cfg_ga = cfg_for("spatial", 64)
+    cfg_ga.GRAD_ACCUM_STEPS = 2
+    with pytest.raises(ValueError, match="grad_accum_steps"):
+        train_model(create_model("unet"), [], [], cfg_ga, "m",
+                    str(tmp_path / "b"), str(tmp_path / "l"), logger,
+                    mesh=mesh2)
+    cfg_lk = cfg_for("spatial", 64)
+    cfg_lk.LOSS_KWARGS = {"pos_weight": 2.0}
+    with pytest.raises(ValueError, match="loss_kwargs"):
+        train_model(create_model("unet"), [], [], cfg_lk, "m",
+                    str(tmp_path / "b"), str(tmp_path / "l"), logger,
+                    mesh=mesh2)
+
     # pipeline: microbatch/batch divisibility
     with pytest.raises(ValueError, match="microbatches"):
         train_model(create_model("uctransnet", image_size=32), [], [],

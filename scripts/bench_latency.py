@@ -39,8 +39,9 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def cells(quick: bool):
     core = [("unet", s, b, None) for s in (256, 512) for b in (1, 8)]
-    core += [("unet_tpu", s, b, None) for s in (256, 512) for b in (1, 8)]
-    core += [("u2net_tpu", s, b, None) for s in (256, 512) for b in (1, 8)]
+    core += [("unet_tpu", 256, b, None) for b in (1, 8)]
+    core += [("u2net_tpu", 256, b, None) for b in (1, 8)]
+    core += [("unet_tpu", 512, 1, None), ("u2net_tpu", 512, 1, None)]
     core += [("attention_unet", 256, 1, None), ("u2net", 256, 1, None)]
     # fused_up at 512px only: the round-3 in-model A/B already measured
     # 256px (kernel loses 0.87-1.01x at every batch — BENCH_NOTES

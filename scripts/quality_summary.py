@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Summarize QUALITY_AB.json into the per-member verdict table
+(round-5 item 8: make "matching-or-beating" auditable per member).
+
+Reads the flat round-4 layout (seed 0) plus the round-5 ``multi_seed``
+trajectories, computes best-val-Dice per (member, side, seed), seed
+mean/range where multiple seeds exist, and a per-member verdict:
+
+* ``repo`` / ``reference`` — one side leads by more than the measured
+  seed noise (the max seed range observed across the multi-seed study);
+* ``tie`` — the gap is within seed noise;
+* ``ref cannot run`` — the reference trainer crashed (recorded error).
+
+Output: markdown table to stdout + QUALITY_SUMMARY.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+KNOWN_REF_DEFECTS = {
+    "missformer": "ref bridge hard-codes 512px reshapes "
+                  "(missformer.py:92,117) — crashes below 512",
+    "egeunet": "ref GHPA missing super().__init__ (egeunet.py:100-104, "
+               "quirk Q2) — unconstructable",
+    "da_transformer": "ref decoder hard-codes a (512,512) final upsample "
+                      "(da_transformer.py:333) — output/mask mismatch "
+                      "off 512",
+}
+
+
+def bests(rec, name):
+    """{side: {seed: best}} merging flat (seed 0) + multi_seed."""
+    out = {"repo": {}, "reference": {}}
+    for side in out:
+        traj = rec.get(side, {}).get(name)
+        if isinstance(traj, list) and traj:
+            out[side]["0"] = max(traj)
+        for seed, traj in rec.get("multi_seed", {}).get(name, {}).get(
+                side, {}).items():
+            if isinstance(traj, list) and traj:
+                out[side][seed] = max(traj)
+    return out
+
+
+def seed_noise(rec, members):
+    """Max (max-min) best-Dice range across members with >=2 seeds."""
+    ranges = []
+    for name in members:
+        for side, per_seed in bests(rec, name).items():
+            if len(per_seed) >= 2:
+                vals = list(per_seed.values())
+                ranges.append(max(vals) - min(vals))
+    return max(ranges) if ranges else 0.005
+
+
+def fmt(per_seed):
+    if not per_seed:
+        return "—"
+    vals = [per_seed[s] for s in sorted(per_seed)]
+    if len(vals) == 1:
+        return f"{vals[0]:.4f}"
+    mean = sum(vals) / len(vals)
+    return (f"{mean:.4f} ±{(max(vals) - min(vals)) / 2:.4f} "
+            f"(n={len(vals)})")
+
+
+def merge_tpu_lane(rec):
+    """Fold QUALITY_AB_TPU.json (repo sides trained on the real chip —
+    the round-5 breadth lane) into the main record. Same pixels, same
+    hyperparameters; only the JAX backend differs, which is why the
+    lane is kept in its own file and merged explicitly here."""
+    path = os.path.join(ROOT, "QUALITY_AB_TPU.json")
+    if not os.path.exists(path):
+        return rec
+    tpu = json.load(open(path))
+    rec.setdefault("repo", {}).update(tpu.get("repo", {}))
+    for name, sides in tpu.get("multi_seed", {}).items():
+        dst = rec.setdefault("multi_seed", {}).setdefault(name, {})
+        for side, seeds in sides.items():
+            dst.setdefault(side, {}).update(seeds)
+    rec.setdefault("config", {})["tpu_lane"] = (
+        "repo-side trajectories for the breadth members come from "
+        "QUALITY_AB_TPU.json (trained on TPU; reference side torch CPU)")
+    return rec
+
+
+def main():
+    rec = merge_tpu_lane(
+        json.load(open(os.path.join(ROOT, "QUALITY_AB.json"))))
+    members = sorted(set(list(rec.get("repo", {}))
+                         + list(rec.get("reference", {}))
+                         + list(rec.get("multi_seed", {}))))
+    noise = seed_noise(rec, members)
+
+    rows, out = [], {"seed_noise": round(noise, 4), "members": {}}
+    for name in members:
+        b = bests(rec, name)
+        ref_err = rec.get("reference", {}).get(name)
+        err = None
+        if isinstance(ref_err, dict) and "error" in ref_err:
+            err = ref_err["error"]
+        elif not b["reference"] and name in KNOWN_REF_DEFECTS:
+            err = KNOWN_REF_DEFECTS[name]
+        repo_vals = list(b["repo"].values())
+        ref_vals = list(b["reference"].values())
+        if name in ("unet_tpu", "u2net_tpu", "medt_logo", "unext_moe"):
+            verdict = "superset (no ref counterpart)"
+        elif err or not ref_vals:
+            verdict = "ref cannot run" if (err or name in
+                                           KNOWN_REF_DEFECTS) else "—"
+        else:
+            rmean = sum(repo_vals) / len(repo_vals)
+            fmean = sum(ref_vals) / len(ref_vals)
+            if rmean >= fmean + noise:
+                verdict = "repo"
+            elif fmean >= rmean + noise:
+                verdict = "reference"
+            else:
+                verdict = "tie"
+        rows.append((name, fmt(b["repo"]), fmt(b["reference"]), verdict,
+                     err))
+        out["members"][name] = {
+            "repo": {s: round(v, 4) for s, v in b["repo"].items()},
+            "reference": {s: round(v, 4) for s, v in b["reference"].items()},
+            "verdict": verdict, "ref_error": err}
+
+    json.dump(out, open(os.path.join(ROOT, "QUALITY_SUMMARY.json"), "w"),
+              indent=1)
+    print(f"seed noise (max best-Dice range over seeds): {noise:.4f}\n")
+    print("| member | repo best Dice | reference best Dice | verdict |")
+    print("|---|---|---|---|")
+    for name, r, f, v, err in rows:
+        note = f" — {err[:70]}" if err and v == "ref cannot run" else ""
+        print(f"| `{name}` | {r} | {f} | {v}{note} |")
+
+
+if __name__ == "__main__":
+    main()

@@ -213,7 +213,13 @@ models:
     with open(cfg_path, "w") as f:
         f.write(cfg)
     env = dict(os.environ)
-    env.setdefault("UNET_ZOO_PLATFORM", "cpu")
+    if not env.get("UNET_ZOO_QAB_TPU"):
+        # default: JAX CPU (comparable with the torch-CPU reference
+        # side). UNET_ZOO_QAB_TPU=1 runs the repo side on the real chip
+        # (round-5 breadth lane: the 1-core host cannot carry 12 more
+        # JAX-CPU trainings; trajectories are platform-noted by living
+        # in QUALITY_AB_TPU.json)
+        env.setdefault("UNET_ZOO_PLATFORM", "cpu")
     proc = subprocess.run(
         [sys.executable, os.path.join(ROOT, "scripts", "train.py"),
          "--config", cfg_path],

@@ -59,8 +59,12 @@ def train_job(job, args, run_dir):
     os.makedirs(wd, exist_ok=True)
     cfg = {
         "general": {"project_name": f"fine_{label}", "working_dir": wd},
-        "data": {"dataset_dir": args.data_dir, "num_workers": 2,
-                 "image_size": args.size},
+        # cache: decode once, RAM after — on this 1-core host the PNG
+        # decode otherwise rate-limits every epoch (identical pixels;
+        # epochs 2+ then run at step speed, which is also the cached
+        # fed-rate receipt for item 4)
+        "data": {"dataset_dir": args.data_dir, "num_workers": 0,
+                 "image_size": args.size, "cache": True},
         "training": {"epochs": args.epochs, "batch_size": args.batch,
                      "learning_rate": args.lr,
                      "early_stopping_patience": 50,

@@ -11,11 +11,14 @@ mean/range where multiple seeds exist, and a per-member verdict:
 * ``tie`` — the gap is within seed noise;
 * ``ref cannot run`` — the reference trainer crashed (recorded error).
 
-Output: markdown table to stdout + QUALITY_SUMMARY.json.
+Output: markdown table to stdout + QUALITY_SUMMARY.json;
+``--write-models`` also replaces the marker-delimited table in
+MODELS.md (doc-sync-tested by tests/test_quality_docs.py).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 
@@ -130,12 +133,43 @@ def main():
 
     json.dump(out, open(os.path.join(ROOT, "QUALITY_SUMMARY.json"), "w"),
               indent=1)
-    print(f"seed noise (max best-Dice range over seeds): {noise:.4f}\n")
-    print("| member | repo best Dice | reference best Dice | verdict |")
-    print("|---|---|---|---|")
+
+    lines = [f"Seed-noise bar (max best-Dice range over seeds, "
+             f"multi-seed study): **{noise:.4f}**. \"tie\" = gap within "
+             f"that bar. ± is half the seed range.",
+             "",
+             "| member | repo best Dice | reference best Dice | verdict |",
+             "|---|---|---|---|"]
     for name, r, f, v, err in rows:
-        note = f" — {err[:70]}" if err and v == "ref cannot run" else ""
-        print(f"| `{name}` | {r} | {f} | {v}{note} |")
+        note = f" — {err[:90]}" if err and v == "ref cannot run" else ""
+        lines.append(f"| `{name}` | {r} | {f} | {v}{note} |")
+    table = "\n".join(lines)
+    print(table)
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--write-models", action="store_true")
+    if ap.parse_args().write_models:
+        path = os.path.join(ROOT, "MODELS.md")
+        text = open(path).read()
+        start = "<!-- QUALITY_AB_TABLE_START -->"
+        end = "<!-- QUALITY_AB_TABLE_END -->"
+        if start not in text:
+            text = text.rstrip() + (
+                "\n\n## Training-quality A/B vs the reference trainer\n\n"
+                "Head-to-head through `scripts/quality_ab.py`: the "
+                "reference's own `train_model` (torch CPU, test stubs) "
+                "vs `scripts/train.py` — identical on-disk pixels and "
+                "hyperparameters (96px, 10 epochs, shapes dataset), "
+                "independent inits. Per-seed trajectories in "
+                "`QUALITY_AB.json` (+`QUALITY_AB_TPU.json` for the "
+                "TPU-lane repo sides); regenerate with "
+                "`python scripts/quality_summary.py --write-models`.\n\n"
+                f"{start}\n{end}\n")
+        head, rest = text.split(start, 1)
+        _, tail = rest.split(end, 1)
+        open(path, "w").write(head + start + "\n" + table + "\n" + end
+                              + tail)
+        print(f"\n[write] MODELS.md table updated")
 
 
 if __name__ == "__main__":

@@ -120,11 +120,12 @@ def test_spatial_upsample4_bilinear_matches_resize():
 
 
 def test_spatial_unet_tpu_fwd_matches():
-    _fwd_match("unet_tpu", 2)
+    _fwd_match("unet_tpu", 2)  # default head (dts since round 5)
 
 
-def test_spatial_unet_tpu_dts_fwd_matches():
-    _fwd_match("unet_tpu", 2, head_mode="dts")
+def test_spatial_unet_tpu_bilinear_fwd_matches():
+    # the x4-bilinear halo head stays covered after the default flip
+    _fwd_match("unet_tpu", 2, head_mode="bilinear")
 
 
 @pytest.mark.slow

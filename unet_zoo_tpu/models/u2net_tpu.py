@@ -87,8 +87,10 @@ class DilatedBlock(nn.Module):
 
 
 class U2NetTPU(nn.Module):
-    """See module docstring. ``head_mode``: 'bilinear' | 'dts' for the
-    finest (s4) side head, as in models/unet_tpu.py."""
+    """See module docstring. ``head_mode``: 'dts' (default) | 'bilinear'
+    for the finest (s4) side head, as in models/unet_tpu.py — the
+    round-5 fine-structure A/B (FINE_AB.json) measured dts at 0.9610
+    test Dice / 0.9792 boundary-F1 vs bilinear's 0.8860 / 0.8351."""
 
     in_channels: int = 3
     num_classes: int = 1
@@ -96,7 +98,7 @@ class U2NetTPU(nn.Module):
     widths: Sequence[int] = (128, 256, 512, 512)
     # mini-U descents per encoder/decoder stage (same order as widths[:3])
     levels: Sequence[int] = (2, 2, 1)
-    head_mode: str = "bilinear"
+    head_mode: str = "dts"
     dtype: Any = jnp.float32
 
     @nn.compact

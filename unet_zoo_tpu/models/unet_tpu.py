@@ -15,10 +15,12 @@ for the 128x128 systolic array, applying the round-4 measured rules:
   select-and-scatter and its forward is pure memory traffic);
 * nearest-2x upsample + conv for the decoder (no ConvTranspose: 25% SOL
   and all three rewrite attempts measured worse — BENCH_NOTES round 4);
-* the head predicts at stride 4 and bilinearly upsamples the LOGITS to
-  full resolution — the zoo's own unext does exactly this
-  (ref: unet_zoo/models/unext.py:253,320), and it removes the two
-  full-resolution convs that dominate the classic unet's tail.
+* the head predicts at stride 4 and reconstructs full-resolution
+  LOGITS with a depth-to-space sub-pixel head (default since round 5;
+  ``head_mode='bilinear'`` gives the round-4 bilinear logit upsample,
+  the zoo's own unext precedent, ref: unet_zoo/models/unext.py:253,320)
+  — either way the two full-resolution convs that dominate the classic
+  unet's tail are gone.
 
 ~23.5 GF/img at 256px (vs unet's 94.2): the bf16 roofline is ~8400
 img/s, so the north star is reachable by physics rather than forbidden
@@ -40,21 +42,24 @@ class UNetTPU(nn.Module):
     """head_mode selects the logit head (both predict from the stride-4
     decoder feature; neither adds full-resolution conv FLOPs):
 
+    * ``"dts"`` (default) — 3x3 conv to 16*num_classes at s4,
+      depth-to-space to FULL-resolution logits (one MXU matmul, ~0.15
+      GF/img at 256px: sub-cell geometry becomes learnable instead of
+      interpolated; the same move as wranet's PixelShuffle decoder,
+      ref wranet.py:160-174, applied to the logit head). Round-5 fine
+      -structure A/B (FINE_AB.json): 0.9698 test Dice / 0.9890
+      boundary-F1 vs bilinear's 0.8907 / 0.8168, at ~1.5% throughput
+      cost (7119 vs 7227 img/s fwd b128) — hence the default.
     * ``"bilinear"`` — 1x1 conv to num_classes at s4, bilinear x4 logit
-      upsample (the unext precedent). Cheapest; measured ~0.02 Dice cost
-      at 96px on fine structures (logit grid = stride 4).
-    * ``"dts"`` — 3x3 conv to 16*num_classes at s4, depth-to-space to
-      FULL-resolution logits (one MXU matmul, ~0.15 GF/img at 256px:
-      sub-cell geometry becomes learnable instead of interpolated; the
-      same move as wranet's PixelShuffle decoder, ref wranet.py:160-174,
-      applied to the logit head).
+      upsample (the unext precedent). Marginally faster; measured to
+      cost heavily on sub-4px structures (the numbers above).
     """
 
     in_channels: int = 3
     num_classes: int = 1
     # channels per stage at strides (4, 8, 16, 32)
     widths: Sequence[int] = (128, 256, 512, 512)
-    head_mode: str = "bilinear"
+    head_mode: str = "dts"
     dtype: Any = jnp.float32
 
     @nn.compact

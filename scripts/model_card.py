@@ -139,15 +139,30 @@ def build_card(name, template, md_rows, bench, conv):
     if name == "unet_tpu":
         notes.append("- Superset entry, designed from the round-4 "
                      "measured cap tables (models/unet_tpu.py docstring; "
-                     "BENCH_NOTES): the only member above the 5000 "
-                     "img/s north star at the b128 bench config. The "
-                     "stride-4 logit head (unext precedent) trades a "
-                     "little boundary resolution for most of the "
-                     "speedup — on the shapes suite it converges ~0.004 "
-                     "Dice below classic unet at 256px (0.9936 vs "
-                     "0.9977) and ~0.02 below at 96px (QUALITY_AB.json); "
-                     "validate on fine-structure data before swapping "
-                     "it in.")
+                     "BENCH_NOTES): above the 5000 img/s north star at "
+                     "the b128 bench config. Round 4's stride-4 "
+                     "bilinear logit head measurably cost boundary "
+                     "quality on sub-4px structures; round 5 measured "
+                     "it on the fine-structure benchmark "
+                     "(make_fine_dataset.py) — 0.8907 test Dice / "
+                     "0.8168 boundary-F1 vs classic unet's "
+                     "0.9944/0.9994 — and replaced the default with "
+                     "the depth-to-space sub-pixel head "
+                     "(head_mode='dts': 0.9698/0.9890 at ~1.5% "
+                     "throughput cost; FINE_AB.json). The residual "
+                     "~0.025 Dice gap to classic unet on that hard "
+                     "benchmark is the remaining measured tradeoff for "
+                     "4.4x its throughput; head_mode='bilinear' keeps "
+                     "the round-4 head.")
+    if name == "u2net_tpu":
+        notes.append("- Superset entry (round 5): the flagship recipe "
+                     "applied to the U²-Net class — classic u2net's "
+                     "RSU pyramids sit on a measured small-channel "
+                     "architectural floor (2.6-12% of MXU peak, "
+                     "BENCH_NOTES round-4). 5046 img/s fwd b128 vs "
+                     "u2net's 1128. Fine-structure benchmark: 0.9610 "
+                     "test Dice / 0.9792 boundary-F1 with the default "
+                     "dts head (FINE_AB.json).")
     if name == "raunet":
         notes.append("- Pretrained encoder by default, matching the "
                      "reference ctor (ref raunet.py:77): resolution order "

@@ -50,14 +50,21 @@ def bests(rec, name):
 
 
 def seed_noise(rec, members):
-    """Max (max-min) best-Dice range across members with >=2 seeds."""
+    """MEDIAN (max-min) best-Dice range across (member, side) pairs
+    with >=2 seeds — the noise bar for single-seed verdicts. Median,
+    not max: u2netp's measured bimodality (seed ranges ~0.09-0.11 on
+    BOTH trainers at the 96px/10ep config) is a property of that
+    member's optimization landscape, not of the measurement."""
     ranges = []
     for name in members:
         for side, per_seed in bests(rec, name).items():
             if len(per_seed) >= 2:
                 vals = list(per_seed.values())
                 ranges.append(max(vals) - min(vals))
-    return max(ranges) if ranges else 0.005
+    if not ranges:
+        return 0.005
+    ranges.sort()
+    return ranges[len(ranges) // 2]
 
 
 def fmt(per_seed):
@@ -115,6 +122,22 @@ def main():
         elif err or not ref_vals:
             verdict = "ref cannot run" if (err or name in
                                            KNOWN_REF_DEFECTS) else "—"
+        elif len(repo_vals) >= 2 or len(ref_vals) >= 2:
+            # multi-seed: non-parametric dominance — one side wins only
+            # if its WORST seed beats the other's best by > noise
+            if min(repo_vals) > max(ref_vals) + noise:
+                verdict = "repo"
+            elif min(ref_vals) > max(repo_vals) + noise:
+                verdict = "reference"
+            else:
+                verdict = "tie"
+            spread = (max(repo_vals) - min(repo_vals)
+                      if len(repo_vals) >= 2 else 0) + (
+                      max(ref_vals) - min(ref_vals)
+                      if len(ref_vals) >= 2 else 0)
+            if verdict == "tie" and spread > 0.04:
+                verdict = ("tie (high-variance config: bimodal "
+                           "convergence on BOTH trainers)")
         else:
             rmean = sum(repo_vals) / len(repo_vals)
             fmean = sum(ref_vals) / len(ref_vals)
@@ -134,9 +157,11 @@ def main():
     json.dump(out, open(os.path.join(ROOT, "QUALITY_SUMMARY.json"), "w"),
               indent=1)
 
-    lines = [f"Seed-noise bar (max best-Dice range over seeds, "
-             f"multi-seed study): **{noise:.4f}**. \"tie\" = gap within "
-             f"that bar. ± is half the seed range.",
+    lines = [f"Seed-noise bar (MEDIAN per-member best-Dice seed range, "
+             f"multi-seed study): **{noise:.4f}**. Multi-seed verdicts "
+             f"use non-parametric dominance (worst seed of the winner "
+             f"beats the loser's best by > the bar); single-seed "
+             f"verdicts use the bar directly. ± is half the seed range.",
              "",
              "| member | repo best Dice | reference best Dice | verdict |",
              "|---|---|---|---|"]

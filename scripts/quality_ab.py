@@ -87,6 +87,17 @@ def run_reference(models, data_dir, size, epochs, batch, lr, run_dir,
 
     parity_utils._install_timm_stub()
     parity_utils._install_torchvision_stub()
+    # raunet: the reference's create_model consumes the `pretrained`
+    # kwarg itself (ref models/__init__.py:78) and RAUNet's ctor
+    # defaults pretrained=True (ref raunet.py:77), which the offline
+    # stub asserts on. Neutralize the flag at the stub boundary: the
+    # reference side then trains from a random resnet34 — exactly what
+    # the repo side's explicit pretrained=False does (_SPECIAL_KW), so
+    # the comparison stays init-fair.
+    tvm = sys.modules["torchvision.models"]
+    _orig_resnet34 = tvm.resnet34
+    tvm.resnet34 = lambda pretrained=False, **kw: _orig_resnet34(
+        pretrained=False, **kw)
     sys.path.insert(0, REF)
 
     from PIL import Image

@@ -99,6 +99,12 @@ def merge_tpu_lane(rec):
 
 
 def main():
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--write-models", action="store_true",
+                    help="also refresh the marker-delimited table in "
+                         "MODELS.md")
+    args = ap.parse_args()
+
     rec = merge_tpu_lane(
         json.load(open(os.path.join(ROOT, "QUALITY_AB.json"))))
     members = sorted(set(list(rec.get("repo", {}))
@@ -122,6 +128,8 @@ def main():
         elif err or not ref_vals:
             verdict = "ref cannot run" if (err or name in
                                            KNOWN_REF_DEFECTS) else "—"
+        elif not repo_vals:
+            verdict = "repo side pending"
         elif len(repo_vals) >= 2 or len(ref_vals) >= 2:
             # multi-seed: non-parametric dominance — one side wins only
             # if its WORST seed beats the other's best by > noise
@@ -171,9 +179,7 @@ def main():
     table = "\n".join(lines)
     print(table)
 
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--write-models", action="store_true")
-    if ap.parse_args().write_models:
+    if args.write_models:
         path = os.path.join(ROOT, "MODELS.md")
         text = open(path).read()
         start = "<!-- QUALITY_AB_TABLE_START -->"

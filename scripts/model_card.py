@@ -149,11 +149,11 @@ def build_card(name, template, md_rows, bench, conv):
                      "0.9944/0.9994 — and replaced the default with "
                      "the depth-to-space sub-pixel head "
                      "(head_mode='dts': 0.9698/0.9890 at ~1.5% "
-                     "throughput cost; FINE_AB.json). The residual "
-                     "~0.025 Dice gap to classic unet on that hard "
-                     "benchmark is the remaining measured tradeoff for "
-                     "4.4x its throughput; head_mode='bilinear' keeps "
-                     "the round-4 head.")
+                     "throughput cost; FINE_AB.json). At a matched "
+                     "32-epoch budget the residual is 0.9858/0.9977 vs "
+                     "unet's 0.9965/0.9999 — a 0.011-Dice, 0.002-BF1 "
+                     "tradeoff for 4.4x the throughput; "
+                     "head_mode='bilinear' keeps the round-4 head.")
     if name == "u2net_tpu":
         notes.append("- Superset entry (round 5): the flagship recipe "
                      "applied to the U²-Net class — classic u2net's "

@@ -365,5 +365,11 @@ def test_raunet_pretrained_from_file(tmp_path):
 
 
 def test_raunet_pretrained_without_path_warns(capsys):
-    create_model("raunet", pretrained=True)
+    """No weights_path → vendored encoder. The overlay is LAZY (advisor
+    r4: the 41 MB msgpack must not load on create_model alone), so the
+    provenance message appears only once the overlay is applied at
+    init."""
+    model = create_model("raunet", pretrained=True)
+    assert capsys.readouterr().out == ""  # creation is free
+    model.init(jax.random.PRNGKey(0))
     assert "weights_path" in capsys.readouterr().out

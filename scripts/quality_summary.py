@@ -130,6 +130,13 @@ def main():
                                            KNOWN_REF_DEFECTS) else "—"
         elif not repo_vals:
             verdict = "repo side pending"
+        elif max(repo_vals) < 0.5 and max(ref_vals) < 0.5:
+            # raunet both-sides-random cell: neither trainer learns at
+            # this config (the member's real init is the pretrained
+            # encoder, unavailable offline) — a matched failure, not a
+            # win for whichever side flopped slightly higher
+            verdict = ("both fail from random init at this config "
+                       "(member expects a pretrained encoder)")
         elif len(repo_vals) >= 2 or len(ref_vals) >= 2:
             # multi-seed: non-parametric dominance — one side wins only
             # if its WORST seed beats the other's best by > noise

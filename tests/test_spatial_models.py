@@ -48,7 +48,7 @@ def test_spatial_resunet_fwd_matches():
     _fwd_match("resunet", 2)
 
 
-def _train_match(name, n_shards, size=64, **kwargs):
+def _train_match(name, n_shards, size=64, dice_tol=1e-5, **kwargs):
     from unet_zoo_tpu.train.steps import create_train_state, make_train_step
 
     mesh = _mesh(n_shards)
@@ -71,7 +71,11 @@ def _train_match(name, n_shards, size=64, **kwargs):
                                jax.device_put(y, sp))
 
     assert abs(float(met_ref["loss"]) - float(met_sp["loss"])) < 1e-5
-    assert abs(float(met_ref["dice"]) - float(met_sp["dice"])) < 1e-5
+    # thresholded Dice is DISCONTINUOUS: a random-init head puts many
+    # logits near 0, and layout-level float noise can flip a pixel
+    # across the 0.5 sigmoid threshold (1 px at 64x64x2 ~= 1.2e-4
+    # Dice). The loss comparison above is the continuous exactness bar.
+    assert abs(float(met_ref["dice"]) - float(met_sp["dice"])) < dice_tol
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4),
@@ -130,4 +134,5 @@ def test_spatial_unet_tpu_bilinear_fwd_matches():
 
 @pytest.mark.slow
 def test_spatial_unet_tpu_train_step_matches():
-    _train_match("unet_tpu", 2)
+    # dts head (default): 1-2 threshold-flipped pixels of Dice noise
+    _train_match("unet_tpu", 2, dice_tol=3e-4)
